@@ -1,0 +1,29 @@
+"""Test configuration: force an 8-device virtual CPU mesh so sharding tests
+run without TPU hardware (SURVEY.md §4.4).
+
+Note: some installed pytest plugins (jaxtyping) import jax before this
+conftest runs, so setting JAX_PLATFORMS in os.environ alone is too late —
+jax binds that env var to its config at import time. Backends initialize
+lazily, so updating jax.config here (before any op runs) still takes effect.
+"""
+
+import os
+
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(42)
