@@ -1,0 +1,189 @@
+"""Dense image-processing ops: pyramid, bilinear sampling, affine warping,
+Shi-Tomasi scoring, Gaussian blur.
+
+Capability parity with the reference's image utilities
+(jni/vision/ImageHandler.{h,cpp}): bilinear ``sample``
+(ImageHandler.cpp:3-19), affine ``transform_image`` with out-of-image count
+(ImageHandler.cpp:21-113), ``in_image_with_border`` (:120-122), and
+``FindShiTomasiScoreAtPoint`` (:124-155), plus the pyramid half-sampling of
+KeyFrame::MakeKeyFrame_Lite (jni/KeyFrame.cc:20-23).
+
+TPU-native differences: images are f32 arrays in [0, 255] (matching the
+reference's u8 value scale, on which the Shi-Tomasi threshold 70 and FAST
+thresholds are calibrated), everything is dense and batched — Shi-Tomasi is
+computed for the whole image at once with box-filter sums instead of
+per-point loops, and warps are vmapped gathers.
+
+Coordinate convention: points are (x, y) = (column, row), like the
+reference's Eigen::Vector2d corners; arrays index as img[y, x].
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def half_sample(img):
+    """2x2 block mean — equivalent to the reference's half-size
+    cv::resize with bilinear interpolation (jni/KeyFrame.cc:20-23)."""
+    H, W = img.shape[-2:]
+    x = img[..., : H - H % 2, : W - W % 2]
+    x = x.reshape(*x.shape[:-2], H // 2, 2, W // 2, 2)
+    return x.mean(axis=(-3, -1))
+
+
+def make_pyramid(img, n_levels=4):
+    """List of n_levels images, level 0 = input (KeyFrame.cc:18-23)."""
+    levels = [img]
+    for _ in range(n_levels - 1):
+        levels.append(half_sample(levels[-1]))
+    return levels
+
+
+def bilinear_sample(img, xy):
+    """Bilinear sample at xy[..., 2] = (x, y) float positions
+    (ImageHandler.cpp:3-19 semantics: floor + fractional blend).
+
+    Out-of-range coordinates are clamped; callers mask validity separately
+    (the reference's transform_image does its own bounds check).
+    """
+    H, W = img.shape[-2:]
+    x, y = xy[..., 0], xy[..., 1]
+    lx = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, W - 2)
+    ly = jnp.clip(jnp.floor(y).astype(jnp.int32), 0, H - 2)
+    fx = jnp.clip(x - lx, 0.0, 1.0)
+    fy = jnp.clip(y - ly, 0.0, 1.0)
+    i00 = img[..., ly, lx]
+    i01 = img[..., ly, lx + 1]
+    i10 = img[..., ly + 1, lx]
+    i11 = img[..., ly + 1, lx + 1]
+    top = (1 - fx) * i00 + fx * i01
+    bot = (1 - fx) * i10 + fx * i11
+    return (1 - fy) * top + fy * bot
+
+
+def in_image_with_border(shape_hw, xy, border):
+    """(x, y) strictly inside [border, W-border) x [border, H-border)
+    (ImageHandler.cpp:120-122)."""
+    H, W = shape_hw
+    x, y = xy[..., 0], xy[..., 1]
+    return (x >= border) & (y >= border) & (x < W - border) & (y < H - border)
+
+
+def patch_grid(half_size, dtype=jnp.float32):
+    """[(2h+1)^2, 2] grid of (x, y) offsets centered on 0."""
+    n = 2 * half_size + 1
+    ys, xs = jnp.mgrid[0:n, 0:n]
+    return jnp.stack(
+        [xs.reshape(-1) - half_size, ys.reshape(-1) - half_size], axis=-1
+    ).astype(dtype)
+
+
+def affine_warp_patch(img, M, in_center, out_half_size, default=0.0):
+    """Extract a warped square patch: out(i, j) = img(in_center + M @ d)
+    where d = (j, i) - out_center — the semantics of the reference's
+    ``transform_image`` (ImageHandler.cpp:21-113) specialized to centered
+    square patches (its only use, PatchFinder.cc:79-125).
+
+    Returns (patch[(2h+1), (2h+1)], n_outside) like the reference's
+    out-of-image count. Batched over leading axes of M / in_center via vmap.
+    """
+    n = 2 * out_half_size + 1
+    offs = patch_grid(out_half_size, M.dtype)  # [(n*n), 2]
+    src = in_center + offs @ M.T
+    H, W = img.shape[-2:]
+    valid = (
+        (src[..., 0] >= 0)
+        & (src[..., 1] >= 0)
+        & (src[..., 0] < W - 1)
+        & (src[..., 1] < H - 1)
+    )
+    vals = bilinear_sample(img, src)
+    vals = jnp.where(valid, vals, default)
+    return vals.reshape(n, n), jnp.sum(~valid)
+
+
+def _box_sum(x, half):
+    """Sliding-window sum over a (2*half+1)^2 box, same-padded with zeros."""
+    k = 2 * half + 1
+    return lax.reduce_window(
+        x, 0.0, lax.add, (k, k), (1, 1), [(half, half), (half, half)]
+    )
+
+
+def shi_tomasi_dense(img, half_box=3):
+    """Dense Shi-Tomasi (min eigenvalue) score map.
+
+    Matches FindShiTomasiScoreAtPoint (ImageHandler.cpp:124-155): central
+    differences WITHOUT the 1/2 factor, box sums over (2*half_box+1)^2,
+    normalized by 2 * n_pixels — computed for every pixel at once instead
+    of per-candidate. Border pixels (where the box or gradient stencil
+    leaves the image) hold approximate values; callers mask with
+    border >= half_box + 1 (the reference only evaluates candidates with
+    border 10, KeyFrame.cc:65).
+    """
+    dx = jnp.zeros_like(img)
+    dx = dx.at[..., :, 1:-1].set(img[..., :, 2:] - img[..., :, :-2])
+    dy = jnp.zeros_like(img)
+    dy = dy.at[..., 1:-1, :].set(img[..., 2:, :] - img[..., :-2, :])
+    xx = _box_sum(dx * dx, half_box)
+    yy = _box_sum(dy * dy, half_box)
+    xy = _box_sum(dx * dy, half_box)
+    n_pix = (2 * half_box + 1) ** 2
+    xx, yy, xy = xx / (2.0 * n_pix), yy / (2.0 * n_pix), xy / (2.0 * n_pix)
+    tr = xx + yy
+    det = xx * yy - xy * xy
+    disc = jnp.sqrt(jnp.maximum(tr * tr - 4.0 * det, 0.0))
+    return 0.5 * (tr - disc)
+
+
+@functools.partial(jax.jit, static_argnames=("sigma", "truncate"))
+def gaussian_blur(img, sigma: float, truncate: float = 3.0):
+    """Separable Gaussian blur (used for the SmallBlurryImage,
+    jni/SmallBlurryImage.cc:20-55). Edge-replicate padding like OpenCV's
+    default border mode."""
+    if sigma <= 0:
+        return img
+    radius = max(1, int(truncate * sigma + 0.5))
+    x = jnp.arange(-radius, radius + 1, dtype=img.dtype)
+    k = jnp.exp(-0.5 * (x / sigma) ** 2)
+    k = k / jnp.sum(k)
+
+    def conv1d(im, axis):
+        pad = [(0, 0)] * im.ndim
+        pad[axis] = (radius, radius)
+        imp = jnp.pad(im, pad, mode="edge")
+        out = jnp.zeros_like(im)
+        for i in range(2 * radius + 1):
+            sl = [slice(None)] * im.ndim
+            sl[axis] = slice(i, i + im.shape[axis])
+            out = out + k[i] * imp[tuple(sl)]
+        return out
+
+    return conv1d(conv1d(img, -1), -2)
+
+
+def extract_patch(img, center_xy, half_size):
+    """Axis-aligned integer-centered patch via dynamic_slice; center must be
+    at least half_size from the border (callers mask). Returns
+    [(2h+1), (2h+1)]."""
+    n = 2 * half_size + 1
+    H, W = img.shape[-2:]
+    x0 = jnp.clip(center_xy[0].astype(jnp.int32) - half_size, 0, W - n)
+    y0 = jnp.clip(center_xy[1].astype(jnp.int32) - half_size, 0, H - n)
+    return lax.dynamic_slice(img, (y0, x0), (n, n))
+
+
+def extract_window(img, center_xy, half_size):
+    """Like extract_patch but returns (window, top_left_xy) so callers can
+    convert window coordinates back to image coordinates."""
+    n = 2 * half_size + 1
+    H, W = img.shape[-2:]
+    x0 = jnp.clip(center_xy[0].astype(jnp.int32) - half_size, 0, W - n)
+    y0 = jnp.clip(center_xy[1].astype(jnp.int32) - half_size, 0, H - n)
+    win = lax.dynamic_slice(img, (y0, x0), (n, n))
+    return win, jnp.stack([x0, y0])
