@@ -1,0 +1,66 @@
+"""Sharded BA correctness vs the single-device result (SURVEY.md §4.4:
+psum-assembled Schur systems checked against the single-device oracle on a
+virtual 8-device CPU mesh)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from visualslam_android_tpu.models import bundle
+from visualslam_android_tpu.parallel import sharded_ba
+from tests.test_bundle import _make_problem
+
+
+def test_mesh_has_8_devices():
+    assert len(jax.devices()) == 8
+
+
+def test_sharded_matches_single_device(rng):
+    prob, cam, pts_true, poses, _ = _make_problem(
+        rng, n_cams=4, n_pts=120, perturb=0.02
+    )
+    res1 = bundle.bundle_adjust(prob, cam, max_iters=12, point_block=64)
+    mesh = sharded_ba.make_mesh()
+    res8 = sharded_ba.sharded_bundle_adjust(
+        prob, cam, mesh, max_iters=12, point_block=32
+    )
+    rms1 = float(
+        bundle.reprojection_rms(prob, cam, res1.cam_R, res1.cam_t, res1.points)
+    )
+    prob_pad = sharded_ba.pad_problem(prob, 8)
+    rms8 = float(
+        bundle.reprojection_rms(
+            prob_pad, cam, res8.cam_R, res8.cam_t, res8.points
+        )
+    )
+    # Both must converge to equivalent optima.
+    assert rms8 < max(1.5 * rms1, 0.6), f"sharded rms {rms8} vs {rms1}"
+    np.testing.assert_allclose(
+        np.asarray(res8.cam_t[:4]), np.asarray(res1.cam_t[:4]), atol=5e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(res8.cam_R[:4]), np.asarray(res1.cam_R[:4]), atol=5e-3
+    )
+
+
+def test_sharded_outlier_ejection(rng):
+    prob, cam, _, _, corrupted = _make_problem(
+        rng, noise_px=0.2, perturb=0.005, n_outlier_meas=8
+    )
+    mesh = sharded_ba.make_mesh()
+    res = sharded_ba.sharded_bundle_adjust(
+        prob, cam, mesh, max_iters=15, point_block=32
+    )
+    ej = np.asarray(res.outlier_meas)
+    hit = sum(1 for (n, o) in corrupted if ej[n, o])
+    assert hit >= 6, f"only {hit}/8 outliers ejected in sharded BA"
+
+
+def test_pad_problem_preserves_solution(rng):
+    prob, cam, *_ = _make_problem(rng, n_pts=100)
+    padded = sharded_ba.pad_problem(prob, 8)
+    assert padded.points.shape[0] % 8 == 0
+    assert not bool(jnp.any(padded.point_valid[prob.points.shape[0]:]))
+    res = bundle.bundle_adjust(padded, cam, max_iters=8, point_block=64)
+    assert int(res.accepted) >= 1

@@ -1,0 +1,447 @@
+"""Levenberg-Marquardt bundle adjustment with Schur complement.
+
+Capability parity with jni/Bundle.{h,cc} (Hartley & Zisserman MVG Algorithm
+A6.4, as the reference implements it):
+
+- per-measurement 2x6 camera (A) and 2x3 point (B) Jacobians with the
+  sqrt-Tukey weight folded in (Do_LM_Step, Bundle.cc:241-321);
+- robust sigma from the Tukey MAD estimator with minimum 0.4
+  (Bundle.cc:209-227);
+- accumulators U (per camera), V (per point), eps_a, eps_b, W = A^T B;
+- inner lambda loop: V* = V(1+lambda*diag), reduced camera system
+  S = U* - sum_p W V*^-1 W^T assembled over camera pairs
+  (Bundle.cc:327-434), solved for the camera update, points
+  back-substituted (Bundle.cc:437-462); step accepted iff the robust
+  objective decreased, lambda schedule x0.3 on success / x(doubling
+  factor) on failure (Bundle.cc:469-514, ModifyLambda_* :609-617);
+- convergence on squared update < 1e-6, max 20 total inner iterations
+  (Bundle.cc:65-66);
+- fixed cameras excluded from the update (identity rows in our fixed-shape
+  S instead of removed rows);
+- measurement ejection: z <= 0 or zero Tukey weight marks the measurement
+  bad; bad measurements are removed at the end of each LM step and
+  reported with per-point outlier counts (Bundle.cc:516-531,
+  GetOutliers/GetOutlierMeasurements :620-640).
+
+TPU-native design (SURVEY.md §7.6/§7.9): measurements live in a point-major
+[N, O] table; U/V/eps are segment-sums; the Schur correction is assembled
+per point BLOCK as dense one-hot contractions (two MXU matmuls per block,
+scanned over blocks) instead of per-camera-pair scripts — the same blocked
+sum that later shards across devices with a psum. S is solved with a
+Cholesky factorization rather than the reference's dense inverse
+(Bundle.cc:437). The abort-signal (Bundle.cc:154) becomes the bounded
+`max_iters` budget: the mapmaker runs BA in bounded chunks between frames.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from visualslam_android_tpu.ops import camera as cam_ops
+from visualslam_android_tpu.ops import lie
+from visualslam_android_tpu.ops import mestimator as me
+
+MIN_SIGMA_SQ = 0.16  # (0.4)^2, Bundle.cc:224
+
+
+class BAProblem(NamedTuple):
+    """Fixed-shape bundle problem."""
+
+    cam_R: jnp.ndarray      # [K, 3, 3]
+    cam_t: jnp.ndarray      # [K, 3]
+    cam_fixed: jnp.ndarray  # [K] bool (includes invalid slots)
+    cam_valid: jnp.ndarray  # [K] bool
+    points: jnp.ndarray     # [N, 3]
+    point_valid: jnp.ndarray  # [N] bool
+    meas_kf: jnp.ndarray    # [N, O] int32
+    meas_uv: jnp.ndarray    # [N, O, 2] level-0 pixels
+    meas_sqrt_inv_noise: jnp.ndarray  # [N, O] (1/2^level)
+    meas_valid: jnp.ndarray  # [N, O] bool
+
+
+class BAResult(NamedTuple):
+    cam_R: jnp.ndarray
+    cam_t: jnp.ndarray
+    points: jnp.ndarray
+    meas_valid: jnp.ndarray       # with ejected measurements cleared
+    outlier_meas: jnp.ndarray     # [N, O] measurements ejected this run
+    point_outliers: jnp.ndarray   # [N] int32 ejected-obs count per point
+    accepted: jnp.ndarray         # [] int32 accepted LM steps
+    converged: jnp.ndarray        # [] bool
+    sigma_squared: jnp.ndarray    # [] final robust sigma^2
+
+
+def _project_all(cam, R, t, pts, prob: BAProblem):
+    """Project every measurement; returns (pc [N,O,3], err [N,O,2] noise-
+    scaled, err_sq [N,O], bad [N,O])."""
+    Rm = R[prob.meas_kf]  # [N, O, 3, 3]
+    tm = t[prob.meas_kf]
+    pc = jnp.einsum("noij,nj->noi", Rm, pts) + tm
+    z_bad = pc[..., 2] <= 0
+    safe_z = jnp.where(z_bad, 1.0, pc[..., 2])
+    m = pc[..., :2] / safe_z[..., None]
+    px = cam_ops.project(cam, m)
+    err = (prob.meas_uv - px) * prob.meas_sqrt_inv_noise[..., None]
+    err_sq = jnp.sum(err * err, axis=-1)
+    return pc, err, err_sq, z_bad
+
+
+def _jacobians(cam, pc, Rm, sqrt_w, sqrt_inv_noise, cam_fixed_m):
+    """A [N,O,2,6], B [N,O,2,3] with sqrt-weight and noise folded in
+    (Bundle.cc:269-302). A is zeroed for fixed cameras."""
+    z_ok = pc[..., 2] > 0
+    safe_z = jnp.where(z_ok, pc[..., 2], 1.0)
+    inv_z = 1.0 / safe_z
+    m = pc[..., :2] * inv_z[..., None]
+    flat = m.reshape(-1, 2)
+    _, derivs = cam_ops.project_derivs(cam, flat)
+    derivs = derivs.reshape(*m.shape[:-1], 2, 2)
+    derivs = derivs * sqrt_w[..., None, None]  # weight folded into derivs
+
+    x, y = pc[..., 0], pc[..., 1]
+    zero = jnp.zeros_like(x)
+    one = jnp.ones_like(x)
+    cam_motions = [
+        (one, zero, zero), (zero, one, zero), (zero, zero, one),
+        (zero, -pc[..., 2], y), (pc[..., 2], zero, -x), (-y, x, zero),
+    ]
+
+    def in_plane(mx, my, mz):
+        return jnp.stack(
+            [(mx - x * mz * inv_z) * inv_z, (my - y * mz * inv_z) * inv_z],
+            axis=-1,
+        )
+
+    A = jnp.stack(
+        [jnp.einsum("noab,nob->noa", derivs, in_plane(*mo))
+         for mo in cam_motions],
+        axis=-1,
+    )  # [N, O, 2, 6]
+    A = A * sqrt_inv_noise[..., None, None]
+    A = jnp.where(cam_fixed_m[..., None, None], 0.0, A)
+
+    # B: derivative wrt point position = columns of R (Bundle.cc:294-302).
+    Bcols = []
+    for mcol in range(3):
+        v = Rm[..., :, mcol]  # [N, O, 3]
+        Bcols.append(
+            jnp.einsum(
+                "noab,nob->noa", derivs,
+                in_plane(v[..., 0], v[..., 1], v[..., 2]),
+            )
+        )
+    B = jnp.stack(Bcols, axis=-1) * sqrt_inv_noise[..., None, None]
+    return A, B
+
+
+def _schur_blocks(C, Y, W, eps_b, block: int):
+    """Scan over point blocks accumulating the Schur correction
+    S_corr [K, 6, K, 6] and E_corr [K, 6]. C [N, O, K] one-hot camera
+    incidence; Y = W V^-1. Each block is two dense contractions (MXU) —
+    the blocked sum that later shards across devices with a psum."""
+    N, O, K = C.shape
+    n_blocks = -(-N // block)
+    pad = n_blocks * block - N
+
+    def pad0(x):
+        return jnp.pad(x, [(0, pad)] + [(0, 0)] * (x.ndim - 1))
+
+    Cp, Yp, Wp = pad0(C), pad0(Y), pad0(W)
+
+    E_corr = jnp.einsum("nok,noab,nb->ka", C, Y, eps_b)
+
+    def body(S_acc, idx):
+        sl = lambda x: lax.dynamic_slice_in_dim(x, idx * block, block)
+        Cb, Yb, Wb = sl(Cp), sl(Yp), sl(Wp)
+        G = jnp.einsum("nok,noab->nkab", Cb, Yb)   # [B, K, 6, 3]
+        Hm = jnp.einsum("nok,noab->nkab", Cb, Wb)  # [B, K, 6, 3]
+        return S_acc + jnp.einsum("nkab,nlcb->kalc", G, Hm), None
+
+    S_corr, _ = lax.scan(
+        body, jnp.zeros((K, 6, K, 6), C.dtype), jnp.arange(n_blocks)
+    )
+    return S_corr, E_corr
+
+
+@functools.partial(
+    jax.jit, static_argnames=("max_iters", "point_block", "axis_name")
+)
+def bundle_adjust(
+    prob: BAProblem, cam: cam_ops.Camera,
+    max_iters: int = 20, point_block: int = 1024,
+    axis_name=None,
+) -> BAResult:
+    """Full Bundle::Compute (Bundle.cc:136-178) as a jitted fixed-shape
+    program. max_iters bounds TOTAL inner iterations (the reference's
+    mgvnMaxIterations); run repeatedly with small budgets to emulate the
+    abort signal.
+
+    With `axis_name` set, the problem's point/measurement arrays are the
+    LOCAL shard of a mesh axis (see parallel/sharded_ba.py): camera-side
+    accumulators (U, eps_a, Schur correction, objective sums) are psummed
+    over the axis, the replicated reduced system is solved identically on
+    every device, and point back-substitution stays local — the
+    TPU-native realization of SURVEY.md §2's "sharded global BA".
+    """
+    dtype = prob.points.dtype
+    N, O = prob.meas_kf.shape
+    K = prob.cam_R.shape[0]
+
+    def _pa(x):
+        return lax.psum(x, axis_name) if axis_name is not None else x
+
+    meas_valid0 = prob.meas_valid & prob.point_valid[:, None]
+    cam_fixed_m = prob.cam_fixed[prob.meas_kf]
+
+    class _S(NamedTuple):
+        R: jnp.ndarray
+        t: jnp.ndarray
+        pts: jnp.ndarray
+        meas_valid: jnp.ndarray
+        ejected: jnp.ndarray
+        lam: jnp.ndarray
+        lam_factor: jnp.ndarray
+        counter: jnp.ndarray
+        accepted: jnp.ndarray
+        converged: jnp.ndarray
+        sigma_sq: jnp.ndarray
+
+    def lm_step(s: _S) -> _S:
+        # ---- Projection + robust sigma (Bundle.cc:209-227) ----
+        pc, err, err_sq, z_bad = _project_all(cam, s.R, s.t, s.pts, prob)
+        ok = s.meas_valid & ~z_bad
+        err_sq_g, ok_g = err_sq.reshape(-1), ok.reshape(-1)
+        if axis_name is not None:
+            # The MAD sigma needs the global error distribution.
+            err_sq_g = lax.all_gather(err_sq_g, axis_name).reshape(-1)
+            ok_g = lax.all_gather(ok_g, axis_name).reshape(-1)
+        sigma_sq = me.find_sigma_squared(err_sq_g, ok_g, me.TUKEY)
+        sigma_sq = jnp.maximum(sigma_sq, MIN_SIGMA_SQ)
+        sqrt_w = me.square_root_weight(err_sq, sigma_sq, me.TUKEY)
+        bad = s.meas_valid & (z_bad | (sqrt_w == 0.0))
+        good = s.meas_valid & ~bad
+        current_error = _pa(
+            jnp.sum(
+                jnp.where(
+                    good, me.objective_score(err_sq, sigma_sq, me.TUKEY), 0.0
+                )
+            )
+            + jnp.sum(bad.astype(dtype))
+        )
+
+        # ---- Jacobians + accumulators (Bundle.cc:241-321) ----
+        Rm = s.R[prob.meas_kf]
+        A, B = _jacobians(
+            cam, pc, Rm, jnp.where(good, sqrt_w, 0.0),
+            prob.meas_sqrt_inv_noise, cam_fixed_m,
+        )
+        gmask = good[..., None]
+        eps = jnp.where(gmask, err * sqrt_w[..., None], 0.0)
+        A = jnp.where(gmask[..., None], A, 0.0)
+        B = jnp.where(gmask[..., None], B, 0.0)
+
+        kf_flat = prob.meas_kf.reshape(-1)
+        U = _pa(
+            jnp.zeros((K, 6, 6), dtype).at[kf_flat].add(
+                jnp.einsum("nora,norb->noab", A, A).reshape(-1, 6, 6)
+            )
+        )
+        eps_a = _pa(
+            jnp.zeros((K, 6), dtype).at[kf_flat].add(
+                jnp.einsum("nora,nor->noa", A, eps).reshape(-1, 6)
+            )
+        )
+        V = jnp.einsum("nora,norb->nab", B, B)  # [N, 3, 3]
+        eps_b = jnp.einsum("nora,nor->na", B, eps)
+        W = jnp.einsum("nora,norb->noab", A, B)  # [N, O, 6, 3]
+
+        # One-hot camera incidence for the Schur correction.
+        C = (
+            jax.nn.one_hot(prob.meas_kf, K, dtype=dtype)
+            * (good & ~cam_fixed_m).astype(dtype)[..., None]
+        )
+
+        # ---- Inner lambda loop (Bundle.cc:327-514) ----
+        class _I(NamedTuple):
+            lam: jnp.ndarray
+            lam_factor: jnp.ndarray
+            counter: jnp.ndarray
+            converged: jnp.ndarray
+            hit_max: jnp.ndarray
+            new_error: jnp.ndarray
+            R_new: jnp.ndarray
+            t_new: jnp.ndarray
+            pts_new: jnp.ndarray
+
+        def inner_body(i: _I) -> _I:
+            # V* inverse: diagonal scaled by (1 + lambda); zero inverse if
+            # V is singular-ish (Bundle.cc:333-349).
+            Vs = V + i.lam * V * jnp.eye(3, dtype=dtype)[None]
+            diag_prod = V[:, 0, 0] * V[:, 1, 1] * V[:, 2, 2]
+            singular = diag_prod == 0.0
+            Vs_safe = jnp.where(
+                singular[:, None, None], jnp.eye(3, dtype=dtype)[None], Vs
+            )
+            Vinv = jnp.where(
+                singular[:, None, None], 0.0, jnp.linalg.inv(Vs_safe)
+            )
+
+            Y = jnp.einsum("noab,nbc->noac", W, Vinv)  # [N, O, 6, 3]
+            S_corr, E_corr = _schur_blocks(C, Y, W, eps_b, point_block)
+            S_corr, E_corr = _pa(S_corr), _pa(E_corr)
+
+            # S diagonal: U with lambda-scaled diagonal; fixed/invalid
+            # cameras get identity blocks (they take no update).
+            lam_eye = 1.0 + i.lam * jnp.eye(6, dtype=dtype)[None]
+            U_star = U * lam_eye
+            S = -S_corr  # [K, 6, K, 6]
+            kk = jnp.arange(K)
+            S = S.at[kk, :, kk, :].add(U_star)
+            free = prob.cam_valid & ~prob.cam_fixed
+            eyeK = jnp.eye(6, dtype=dtype)[None] * jnp.ones((K, 1, 1), dtype)
+            S = jnp.where(
+                free[:, None, None, None] & free[None, None, :, None],
+                S,
+                0.0,
+            )
+            S = S.at[kk, :, kk, :].add(
+                jnp.where(free[:, None, None], 0.0, eyeK)
+            )
+            E = jnp.where(free[:, None], eps_a - E_corr, 0.0)
+
+            Sm = S.reshape(K * 6, K * 6)
+            Sm = Sm + 1e-9 * jnp.eye(K * 6, dtype=dtype)
+            L, low = jax.scipy.linalg.cho_factor(Sm, lower=True)
+            cam_upd = jax.scipy.linalg.cho_solve(
+                (L, low), E.reshape(-1)
+            ).reshape(K, 6)
+
+            # Back-substitute points (Bundle.cc:440-462).
+            dc = cam_upd[prob.meas_kf]  # [N, O, 6]
+            wtd = jnp.einsum("noab,noa->nob", W, dc)  # [N, O, 3]
+            v3 = eps_b - jnp.sum(wtd, axis=1)
+            pt_upd = jnp.einsum("nab,nb->na", Vinv, v3)
+
+            pt_upd = jnp.where(prob.point_valid[:, None], pt_upd, 0.0)
+            upd_sq = jnp.sum(cam_upd * cam_upd) + _pa(
+                jnp.sum(pt_upd * pt_upd)
+            )
+            converged = upd_sq < 1e-6
+
+            dR, dt = lie.se3_exp(cam_upd)
+            R_new, t_new = lie.se3_mul(dR, dt, s.R, s.t)
+            R_new = jnp.where(free[:, None, None], R_new, s.R)
+            t_new = jnp.where(free[:, None], t_new, s.t)
+            pts_new = s.pts + jnp.where(
+                prob.point_valid[:, None], pt_upd, 0.0
+            )
+
+            # FindNewError (Bundle.cc:537-561): same sigma, +1 per z-bad.
+            _, _, err_sq_new, z_bad_new = _project_all(
+                cam, R_new, t_new, pts_new, prob
+            )
+            ok_new = good & ~z_bad_new
+            new_error = _pa(
+                jnp.sum(
+                    jnp.where(
+                        ok_new,
+                        me.objective_score(err_sq_new, sigma_sq, me.TUKEY),
+                        0.0,
+                    )
+                )
+                + jnp.sum((good & z_bad_new).astype(dtype))
+                + jnp.sum(bad.astype(dtype))
+            )
+
+            worse = new_error > current_error
+            lam = jnp.where(worse, i.lam * i.lam_factor, i.lam)
+            lam_factor = jnp.where(worse, i.lam_factor * 2.0, i.lam_factor)
+            counter = i.counter + 1
+            return _I(
+                lam=lam, lam_factor=lam_factor, counter=counter,
+                converged=i.converged | converged,
+                hit_max=counter >= max_iters,
+                new_error=new_error,
+                R_new=R_new, t_new=t_new, pts_new=pts_new,
+            )
+
+        def inner_cond(i: _I):
+            return (
+                (i.new_error > current_error)
+                & ~i.converged
+                & ~i.hit_max
+            )
+
+        init = _I(
+            lam=s.lam, lam_factor=s.lam_factor, counter=s.counter,
+            converged=jnp.asarray(False),
+            hit_max=s.counter >= max_iters,
+            new_error=current_error + 9999.0,
+            R_new=s.R, t_new=s.t, pts_new=s.pts,
+        )
+        fin = lax.while_loop(inner_cond, inner_body, init)
+
+        # Accept if improved (Bundle.cc:504-514).
+        good_step = fin.new_error < current_error
+        lam = jnp.where(good_step, fin.lam * 0.3, fin.lam)
+        lam_factor = jnp.where(good_step, 2.0, fin.lam_factor)
+        R_out = jnp.where(good_step, fin.R_new, s.R)
+        t_out = jnp.where(good_step, fin.t_new, s.t)
+        pts_out = jnp.where(good_step, fin.pts_new, s.pts)
+
+        # Eject outliers (Bundle.cc:516-531).
+        meas_valid = s.meas_valid & ~bad
+        ejected = s.ejected | bad
+        return _S(
+            R=R_out, t=t_out, pts=pts_out,
+            meas_valid=meas_valid, ejected=ejected,
+            lam=lam, lam_factor=lam_factor,
+            counter=fin.counter,
+            accepted=s.accepted + good_step.astype(jnp.int32),
+            converged=fin.converged,
+            sigma_sq=sigma_sq,
+        )
+
+    def outer_cond(s: _S):
+        return ~s.converged & (s.counter < max_iters)
+
+    init = _S(
+        R=prob.cam_R, t=prob.cam_t, pts=prob.points,
+        meas_valid=meas_valid0,
+        ejected=jnp.zeros((N, O), bool),
+        lam=jnp.asarray(1e-4, dtype),
+        lam_factor=jnp.asarray(2.0, dtype),
+        counter=jnp.asarray(0, jnp.int32),
+        accepted=jnp.asarray(0, jnp.int32),
+        converged=jnp.asarray(False),
+        sigma_sq=jnp.asarray(MIN_SIGMA_SQ, dtype),
+    )
+    fin = lax.while_loop(outer_cond, lm_step, init)
+
+    return BAResult(
+        cam_R=fin.R, cam_t=fin.t, points=fin.pts,
+        meas_valid=fin.meas_valid,
+        outlier_meas=fin.ejected,
+        point_outliers=jnp.sum(fin.ejected.astype(jnp.int32), axis=-1),
+        accepted=fin.accepted,
+        converged=fin.converged,
+        sigma_squared=fin.sigma_sq,
+    )
+
+
+def reprojection_rms(prob: BAProblem, cam: cam_ops.Camera,
+                     R=None, t=None, pts=None):
+    """Diagnostic: noise-scaled RMS reprojection error over valid
+    measurements."""
+    R = prob.cam_R if R is None else R
+    t = prob.cam_t if t is None else t
+    pts = prob.points if pts is None else pts
+    _, _, err_sq, z_bad = _project_all(cam, R, t, pts, prob)
+    ok = prob.meas_valid & prob.point_valid[:, None] & ~z_bad
+    n = jnp.maximum(jnp.sum(ok), 1)
+    return jnp.sqrt(jnp.sum(jnp.where(ok, err_sq, 0.0)) / n)

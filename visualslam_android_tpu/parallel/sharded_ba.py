@@ -1,0 +1,110 @@
+"""Distributed bundle adjustment: point/measurement blocks sharded across a
+device mesh.
+
+The reference is single-threaded (its mapping thread is even disabled,
+jni/MapMaker.cc:55-56) and assembles one dense reduced camera system
+serially (jni/Bundle.cc:353-437). The TPU-native design (SURVEY.md §2
+"parallelism strategies", §7.9, BASELINE.json north star):
+
+- the map's POINTS and their point-major measurement rows are sharded
+  along a 1-D mesh axis (pure data parallelism over the reduced system's
+  summands);
+- cameras (a few hundred 6-DoF poses) are replicated;
+- each device computes its shard's U / eps_a contributions and Schur
+  correction blocks, which are combined with `psum` over ICI;
+- every device solves the identical replicated reduced camera system
+  (the [6K x 6K] Cholesky is tiny next to the correction assembly) and
+  back-substitutes ITS OWN points locally.
+
+This file only lays the sharding over models/bundle.py's `bundle_adjust`
+(which takes the `axis_name` and places the psums); the math is identical
+to the single-device path, which the tests exploit: sharded result ==
+unsharded result.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from visualslam_android_tpu.models.bundle import (
+    BAProblem,
+    BAResult,
+    bundle_adjust,
+)
+
+AXIS = "points"
+
+
+def make_mesh(devices=None, axis=AXIS) -> Mesh:
+    import numpy as np
+
+    devices = jax.devices() if devices is None else devices
+    return Mesh(np.asarray(devices), (axis,))
+
+
+def pad_problem(prob: BAProblem, multiple: int) -> BAProblem:
+    """Pad the point dimension to a multiple of the mesh size (padded
+    slots are invalid points with no valid measurements)."""
+    N = prob.points.shape[0]
+    pad = (-N) % multiple
+    if pad == 0:
+        return prob
+
+    def padN(x):
+        return jnp.pad(x, [(0, pad)] + [(0, 0)] * (x.ndim - 1))
+
+    return BAProblem(
+        cam_R=prob.cam_R, cam_t=prob.cam_t,
+        cam_fixed=prob.cam_fixed, cam_valid=prob.cam_valid,
+        points=padN(prob.points),
+        point_valid=padN(prob.point_valid),
+        meas_kf=padN(prob.meas_kf),
+        meas_uv=padN(prob.meas_uv),
+        meas_sqrt_inv_noise=padN(prob.meas_sqrt_inv_noise),
+        meas_valid=padN(prob.meas_valid),
+    )
+
+
+def sharded_bundle_adjust(
+    prob: BAProblem, cam, mesh: Mesh,
+    max_iters: int = 20, point_block: int = 1024,
+) -> BAResult:
+    """Run bundle_adjust with points/measurements sharded over `mesh`.
+
+    Output point-side arrays come back fully assembled (the mesh axis is
+    all-gathered by the out sharding); camera-side and scalar outputs are
+    replicated and identical on every device.
+    """
+    axis = mesh.axis_names[0]
+    n_dev = mesh.devices.size
+    prob = pad_problem(prob, n_dev)
+
+    shard = P(axis)
+    repl = P()
+    in_specs = BAProblem(
+        cam_R=repl, cam_t=repl, cam_fixed=repl, cam_valid=repl,
+        points=shard, point_valid=shard,
+        meas_kf=shard, meas_uv=shard,
+        meas_sqrt_inv_noise=shard, meas_valid=shard,
+    )
+    out_specs = BAResult(
+        cam_R=repl, cam_t=repl,
+        points=shard,
+        meas_valid=shard, outlier_meas=shard, point_outliers=shard,
+        accepted=repl, converged=repl, sigma_squared=repl,
+    )
+
+    fn = shard_map(
+        lambda p, c: bundle_adjust(
+            p, c, max_iters=max_iters, point_block=point_block,
+            axis_name=axis,
+        ),
+        mesh=mesh,
+        in_specs=(in_specs, P()),
+        out_specs=out_specs,
+        check_rep=False,
+    )
+    return jax.jit(fn)(prob, cam)
