@@ -1,0 +1,110 @@
+"""Full-SLAM integration: bootstrap from two touches on a rendered planar
+scene, track + map a sequence, evaluate similarity-aligned ATE
+(SURVEY.md §4.3; BASELINE configs 1/3 shape)."""
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from visualslam_android_tpu.config import (
+    MapMakerConfig,
+    SLAMConfig,
+    TrackerConfig,
+)
+from visualslam_android_tpu.models import slam
+from visualslam_android_tpu.ops import lie
+from visualslam_android_tpu.utils import ate, synthetic
+
+
+def _config():
+    return SLAMConfig(
+        tracker=TrackerConfig(
+            width=320, height=240,
+            max_map_points=512,
+            max_corners_per_level=(256, 128, 64, 32),
+            min_frames_between_kfs=6,
+        ),
+        mapmaker=MapMakerConfig(
+            max_keyframes=8, max_epi_candidates=128
+        ),
+    )
+
+
+def _gt_pose(base_R, base_t, k, n_frames):
+    """Sideways translation with slight pan — good homography baseline."""
+    s = k / max(n_frames - 1, 1)
+    mu = jnp.asarray(
+        [0.55 * s, 0.08 * np.sin(2 * s), 0.05 * s, 0.0, 0.12 * s, 0.0],
+        jnp.float32,
+    )
+    dR, dt = lie.se3_exp(mu)
+    return lie.se3_mul(dR, dt, base_R, base_t)
+
+
+@pytest.fixture(scope="module")
+def slam_run():
+    rng = np.random.default_rng(21)
+    config = _config()
+    scene = synthetic.make_planar_scene(rng, depth=4.0, px_per_m=140.0)
+    base_R, base_t = synthetic.look_at_pose((0.0, 0.0, 0.0))
+    shape = (config.tracker.height, config.tracker.width)
+    sys = slam.SLAMSystem(config, seed=3)
+
+    n_frames = 26
+    results, gt = [], []
+    for k in range(n_frames):
+        R_true, t_true = _gt_pose(base_R, base_t, k, n_frames)
+        img = synthetic.render(scene, sys.cam, R_true, t_true, shape)
+        if k == 0 or k == 6:
+            sys.on_touch()  # the two bootstrap presses
+        res = sys.track_frame(img)
+        results.append(res)
+        gt.append((np.asarray(R_true), np.asarray(t_true)))
+    return config, sys, results, gt
+
+
+def test_bootstrap_completed(slam_run):
+    config, sys, results, gt = slam_run
+    phases = [r.phase for r in results]
+    assert phases[0] == slam.PHASE_TRAILS
+    assert slam.PHASE_TRACKING in phases, "stereo init never succeeded"
+    first_track = phases.index(slam.PHASE_TRACKING)
+    assert first_track <= 8
+    assert results[first_track].n_points > 60
+    assert results[first_track].n_keyframes == 2
+
+
+def test_tracking_stays_good(slam_run):
+    config, sys, results, gt = slam_run
+    phases = [r.phase for r in results]
+    first_track = phases.index(slam.PHASE_TRACKING)
+    tracked = results[first_track:]
+    n_bad = sum(1 for r in tracked if r.quality == 0)
+    assert n_bad == 0, f"{n_bad} BAD frames"
+    assert all(not r.lost for r in tracked)
+
+
+def test_map_grows(slam_run):
+    config, sys, results, gt = slam_run
+    assert results[-1].n_keyframes >= 3, "no keyframes added after init"
+    assert results[-1].n_points > results[10].n_points * 0.8
+    assert int(sys.slam_map.meas.count()) > results[-1].n_points
+
+
+def test_ate_small(slam_run):
+    config, sys, results, gt = slam_run
+    phases = [r.phase for r in results]
+    first_track = phases.index(slam.PHASE_TRACKING)
+    est = ate.camera_centers(
+        [r.pose_R for r in results[first_track:]],
+        [r.pose_t for r in results[first_track:]],
+    )
+    gtc = ate.camera_centers(
+        [g[0] for g in gt[first_track:]], [g[1] for g in gt[first_track:]]
+    )
+    rmse, _ = ate.ate_rmse(est, gtc)
+    # Trajectory spans ~0.6 m; ATE should be well under 2% of that.
+    span = np.linalg.norm(gtc.max(0) - gtc.min(0))
+    assert rmse < 0.02 * span, f"ATE {rmse:.4f} vs span {span:.3f}"

@@ -17,84 +17,15 @@ from visualslam_android_tpu.ops import lie, sbi
 from visualslam_android_tpu.utils import synthetic
 
 
+from visualslam_android_tpu.utils import fixtures
+
+
 def small_config():
-    return SLAMConfig(
-        tracker=TrackerConfig(
-            width=320, height=240,
-            max_map_points=256,
-            max_corners_per_level=(256, 128, 64, 32),
-        ),
-        mapmaker=MapMakerConfig(max_keyframes=4),
-    )
+    return fixtures.small_config()
 
 
 def build_fixed_map(config, rng):
-    """One-keyframe map with ground-truth plane points from candidates."""
-    cam = cam_ops.make_camera(
-        config.camera.params(), config.tracker.width, config.tracker.height
-    )
-    scene = synthetic.make_planar_scene(rng, depth=4.0, px_per_m=120.0)
-    R0, t0 = synthetic.look_at_pose((0.0, 0.0, 0.0))
-    img0 = synthetic.render(
-        scene, cam, R0, t0,
-        (config.tracker.height, config.tracker.width),
-    )
-    frame0 = kf_mod.make_frame(img0, config)
-    extras0 = kf_mod.make_frame_extras(frame0, config)
-
-    slam_map = map_store.empty_map(config)
-    kfs = kf_mod.insert_keyframe(
-        slam_map.keyframes, 0, frame0, extras0, R0, t0, fixed=True
-    )
-    slam_map = slam_map._replace(keyframes=kfs)
-
-    # Make map points from candidates at every level (exact ground truth).
-    pts = slam_map.points
-    meas = slam_map.meas
-    slot = 0
-    per_level = [60, 40, 24, 12]
-    for lvl in range(4):
-        xy = np.asarray(extras0.cand_xy[lvl])
-        valid = np.asarray(extras0.cand_valid[lvl])
-        n_take = min(per_level[lvl], int(valid.sum()))
-        scale = 1 << lvl
-        for i in range(n_take):
-            if slot >= pts.n_slots:
-                break
-            x, y = xy[i]
-            zero_xy = jnp.asarray(
-                [(x + 0.5) * scale - 0.5, (y + 0.5) * scale - 0.5],
-                jnp.float32,
-            )
-            pos_w = synthetic.plane_point_from_pixel(
-                scene, cam, R0, t0, zero_xy
-            )
-            c_nc, r_nc, d_nc, n_nc = kf_mod.candidate_rays(
-                cam, jnp.asarray([[x, y]], jnp.float32), lvl
-            )
-            pts = pts._replace(
-                valid=pts.valid.at[slot].set(True),
-                pos_w=pts.pos_w.at[slot].set(pos_w),
-                source_kf=pts.source_kf.at[slot].set(0),
-                source_level=pts.source_level.at[slot].set(lvl),
-                center=pts.center.at[slot].set(
-                    jnp.asarray([x, y], jnp.float32)
-                ),
-                center_nc=pts.center_nc.at[slot].set(c_nc[0]),
-                right_nc=pts.right_nc.at[slot].set(r_nc[0]),
-                down_nc=pts.down_nc.at[slot].set(d_nc[0]),
-                normal_nc=pts.normal_nc.at[slot].set(n_nc[0]),
-            )
-            meas = map_store.add_measurement(
-                meas, slot, 0, zero_xy, lvl, map_store.SRC_ROOT, True
-            )
-            slot += 1
-    pts = map_store.refresh_pixel_vectors(pts, kfs)
-    slam_map = slam_map._replace(
-        points=pts, meas=meas, good=jnp.asarray(True)
-    )
-    slam_map = kf_mod.refresh_scene_depth(slam_map, 0)
-    return slam_map, cam, scene, (R0, t0), slot
+    return fixtures.build_fixed_map(config, rng)
 
 
 @pytest.fixture(scope="module")

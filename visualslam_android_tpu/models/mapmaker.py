@@ -1,0 +1,704 @@
+"""Map construction and maintenance: stereo init, keyframe integration,
+epipolar point creation, re-find, outlier handling, plane alignment, and
+local/global BA orchestration.
+
+Capability parity with jni/MapMaker.{h,cc} — including the parts the
+reference DISABLES (its mapping pthread is commented out,
+MapMaker.cc:55-56; here every maintenance stage actually runs, dispatched
+by the host driver between frames):
+
+- InitFromStereo (MapMaker.cc:204-376): homography bootstrap, wiggle-scale
+  0.1 baseline, per-match subpixel alignment + triangulation, 5x global BA,
+  scene-depth refresh, 4-level epipolar growth, BA to convergence,
+  dominant-plane alignment;
+- AddKeyFrameFromTopOfQueue (:481-506): measurement registration, refind,
+  epipolar growth at levels 3,0,1,2;
+- ThinCandidates (:393-422): 10px exclusion against busy positions at the
+  same/next level;
+- AddPointEpipolar (:525-703): depth-range-clamped epipolar line in the
+  closest keyframe, ZMSSD over implane corners near the line, subpixel,
+  triangulation, new point + SRC_ROOT/SRC_EPIPOLAR measurements;
+- ReFind_Common / InSingleKeyFrame / NewlyMade / FromFailureQueue
+  (:967-1095): tracker-like point search (radius 4) with a never-retry
+  mask;
+- NeedNewKeyFrame / closest-keyframe distances (:710-773, factor 0.2);
+- HandleBadPoints (:140-164): outliers > 20 and > inliers;
+- CalcPlaneAligner (:1104-1231): 100 RANSAC trials, 0.05 inlier band,
+  min-variance eigenvector, z=0 alignment;
+- BundleAdjustAll / Recent / BundleAdjust (:776-960): adjust-set
+  selection (newest + 4 nearest, fixed observers), sigma^2 = level-scale^2
+  measurement noise, outlier routing (kill point if <= 2 good measurements
+  or the SRC_ROOT went bad; retry SRC_TRACKER/SRC_EPIPOLAR via the failure
+  queue; never-retry otherwise, :917-959).
+
+TPU-native design: every per-candidate / per-point / per-(point, KF) loop
+is one batched fixed-shape jitted stage; the epipolar search evaluates all
+candidates of a level against all corners of the target level at once;
+point insertion packs successes into free slots with a rank/scatter.
+Host-side control (queues, stage priorities) lives in slam.py.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from visualslam_android_tpu.config import SLAMConfig
+from visualslam_android_tpu.models import bundle as bundle_mod
+from visualslam_android_tpu.models import keyframe as kf_mod
+from visualslam_android_tpu.models import map_store, triangulate
+from visualslam_android_tpu.models.map_store import (
+    SRC_EPIPOLAR,
+    SRC_REFIND,
+    SRC_ROOT,
+    SRC_TRACKER,
+    SRC_TRAIL,
+    SLAMMap,
+)
+from visualslam_android_tpu.ops import camera as cam_ops
+from visualslam_android_tpu.ops import image as img_ops
+from visualslam_android_tpu.ops import lie, match
+from visualslam_android_tpu.ops.levels import level_scale, level_zero_pos
+
+N_LEVELS = 4
+
+
+# ---------------------------------------------------------------------------
+# Keyframe geometry helpers (MapMaker.cc:705-773)
+# ---------------------------------------------------------------------------
+
+
+def keyframe_distances(kfs, R, t):
+    """Linear distance from pose (R, t) to every keyframe's camera center
+    (KeyFrameLinearDist, MapMaker.cc:705-710). Invalid slots -> +inf."""
+    c = -jnp.einsum("kji,kj->ki", kfs.R, kfs.t)  # camera centers
+    c0 = -R.T @ t
+    d = jnp.linalg.norm(c - c0[None], axis=-1)
+    return jnp.where(kfs.valid, d, jnp.inf)
+
+
+def closest_keyframe(kfs, R, t, exclude=-1):
+    d = keyframe_distances(kfs, R, t)
+    if exclude >= 0:
+        d = d.at[exclude].set(jnp.inf)
+    return jnp.argmin(d), jnp.min(d)
+
+
+def need_new_keyframe(kfs, R, t, scene_depth_mean, wiggle_depth_norm,
+                      max_kf_dist_mult=0.2):
+    """NeedNewKeyFrame (MapMaker.cc:763-773; the port's mult is 0.2)."""
+    _, d = closest_keyframe(kfs, R, t)
+    d = d / jnp.maximum(scene_depth_mean, 1e-6)
+    return d > max_kf_dist_mult * wiggle_depth_norm
+
+
+def dist_to_nearest_excessive(kfs, R, t, wiggle_scale):
+    """IsDistanceToNearestKeyFrameExcessive (MapMaker.cc:1098-1101)."""
+    _, d = closest_keyframe(kfs, R, t)
+    return d > wiggle_scale * 10.0
+
+
+# ---------------------------------------------------------------------------
+# Batched measurement insertion
+# ---------------------------------------------------------------------------
+
+
+def add_measurements_batch(meas, point_mask, kf_idx, uv, level, source,
+                           subpix):
+    """Insert one measurement per selected point into that point's first
+    free observation slot. kf_idx/level may be scalars or [N]."""
+    N, O = meas.valid.shape
+    slot = jnp.argmin(meas.valid.astype(jnp.int32), axis=1)  # [N]
+    ok = point_mask & ~jnp.all(meas.valid, axis=1)
+    rows = jnp.arange(N)
+
+    def upd(arr, val):
+        cur = arr[rows, slot]
+        mask = ok if cur.ndim == 1 else ok[:, None]
+        return arr.at[rows, slot].set(jnp.where(mask, val, cur))
+
+    kf_b = jnp.broadcast_to(jnp.asarray(kf_idx), (N,))
+    lvl_b = jnp.broadcast_to(jnp.asarray(level), (N,))
+    src_b = jnp.broadcast_to(jnp.asarray(source), (N,))
+    sp_b = jnp.broadcast_to(jnp.asarray(subpix), (N,))
+    return map_store.MeasStore(
+        kf=upd(meas.kf, kf_b),
+        uv=upd(meas.uv, uv),
+        level=upd(meas.level, lvl_b),
+        source=upd(meas.source, src_b),
+        subpix=upd(meas.subpix, sp_b),
+        valid=upd(meas.valid, ok),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ThinCandidates (MapMaker.cc:393-422)
+# ---------------------------------------------------------------------------
+
+
+def thin_candidates(slam_map: SLAMMap, kf_idx, level, radius=10):
+    """Clear candidate slots of `kf_idx` at `level` that lie within
+    `radius` (level coords) of an existing measurement at the same or
+    next-higher level."""
+    kfs, meas = slam_map.keyframes, slam_map.meas
+    scale = level_scale(level)
+    # Busy positions: measurements of this KF at level or level+1.
+    busy = (
+        meas.valid
+        & (meas.kf == kf_idx)
+        & ((meas.level == level) | (meas.level == level + 1))
+    )  # [N, O]
+    busy_xy = jnp.round(meas.uv / scale)  # [N, O, 2] level coords
+    cand = kfs.cand_xy[level][kf_idx].astype(busy_xy.dtype)  # [C, 2]
+    d = cand[:, None, None, :] - busy_xy[None]  # [C, N, O, 2]
+    close = (jnp.sum(d * d, axis=-1) < radius * radius) & busy[None]
+    blocked = jnp.any(close, axis=(1, 2))  # [C]
+    new_valid = kfs.cand_valid[level].at[kf_idx].set(
+        kfs.cand_valid[level][kf_idx] & ~blocked
+    )
+    cv = list(kfs.cand_valid)
+    cv[level] = new_valid
+    return slam_map._replace(
+        keyframes=kfs._replace(cand_valid=tuple(cv))
+    )
+
+
+# ---------------------------------------------------------------------------
+# AddPointEpipolar, batched over all candidates of one level
+# (MapMaker.cc:525-703)
+# ---------------------------------------------------------------------------
+
+
+class EpipolarResult(NamedTuple):
+    success: jnp.ndarray     # [C]
+    pos_w: jnp.ndarray       # [C, 3] triangulated world points
+    src_uv: jnp.ndarray      # [C, 2] level-0 source positions
+    target_uv: jnp.ndarray   # [C, 2] level-0 subpixel target positions
+
+
+@functools.partial(jax.jit, static_argnames=("level", "config"))
+def epipolar_search(
+    slam_map: SLAMMap, src_kf, target_kf, cam, level: int,
+    config: SLAMConfig,
+) -> EpipolarResult:
+    """Batched epipolar point search: every valid candidate of src_kf at
+    `level` against the corners of target_kf at the same level."""
+    mc, pc_cfg = config.mapmaker, config.patch
+    kfs = slam_map.keyframes
+    dtype = kfs.t.dtype
+    scale = level_scale(level)
+
+    cand_xy = kfs.cand_xy[level][src_kf].astype(dtype)  # [C, 2]
+    cand_ok = kfs.cand_valid[level][src_kf]
+    C = cand_xy.shape[0]
+    root = level_zero_pos(cand_xy, level)  # [C, 2] level-0
+
+    Rs, ts = kfs.R[src_kf], kfs.t[src_kf]
+    Rt, tt = kfs.R[target_kf], kfs.t[target_kf]
+
+    # Source rays (normalized) rotated into the target camera.
+    m_src = cam_ops.unproject(cam, root)
+    ray_sc = jnp.concatenate([m_src, jnp.ones((C, 1), dtype)], -1)
+    ray_sc = ray_sc / jnp.linalg.norm(ray_sc, axis=-1, keepdims=True)
+    line_dir = jnp.einsum("ij,jk,ck->ci", Rt, Rs.T, ray_sc)
+
+    # Depth range clamp (MapMaker.cc:552-568).
+    d_mean = kfs.depth_mean[src_kf]
+    d_sigma = kfs.depth_sigma[src_kf]
+    start_d = jnp.maximum(mc.wiggle_scale, d_mean - d_sigma)
+    end_d = jnp.minimum(
+        mc.epipolar_depth_max_factor * mc.wiggle_scale, d_mean + d_sigma
+    )
+    cam_center_tc = jnp.einsum("ij,j->i", Rt, -Rs.T @ ts) + tt
+    ray_start = cam_center_tc[None] + start_d * line_dir
+    ray_end = cam_center_tc[None] + end_d * line_dir
+
+    ok = cand_ok
+    ok &= ray_end[:, 2] > ray_start[:, 2]
+    ok &= ray_end[:, 2] > 0.0
+    # Nudge starts behind the camera (MapMaker.cc:577-579).
+    need_nudge = ray_start[:, 2] <= 0.0
+    safe_dz = jnp.where(
+        jnp.abs(line_dir[:, 2]) < 1e-12, 1e-12, line_dir[:, 2]
+    )
+    nudge = (0.001 - ray_start[:, 2]) / safe_dz
+    ray_start = jnp.where(
+        need_nudge[:, None], ray_start + line_dir * nudge[:, None], ray_start
+    )
+
+    a2 = ray_start[:, :2] / ray_start[:, 2:3]
+    b2 = ray_end[:, :2] / ray_end[:, 2:3]
+    along = a2 - b2
+    seg_len_sq = jnp.sum(along * along, axis=-1)
+    ok &= seg_len_sq >= 1e-8
+    along = along / jnp.sqrt(jnp.maximum(seg_len_sq, 1e-20))[:, None]
+    normal = jnp.stack([along[:, 1], -along[:, 0]], -1)
+    norm_dist = jnp.sum(a2 * normal, axis=-1)
+    largest_r = cam_ops.largest_radius_in_image(cam)
+    ok &= jnp.abs(norm_dist) <= largest_r
+    proj_a = jnp.sum(along * a2, -1)
+    proj_b = jnp.sum(along * b2, -1)
+    min_len = jnp.clip(jnp.minimum(proj_a, proj_b) - 0.05, -2.0, 2.0)
+    max_len = jnp.clip(jnp.maximum(proj_a, proj_b) + 0.05, -2.0, 2.0)
+
+    # Templates: no-warp patches at the candidates (MapMaker.cc:604-609).
+    tmpl = match.make_templates_nowarp(
+        kfs.pyramid[level], jnp.full((C,), src_kf, jnp.int32), cand_xy,
+        pc_cfg.half_patch_size,
+    )
+    ok &= ~tmpl.bad
+
+    # Target corners: dense mask -> implane coords. We evaluate the ZMSSD
+    # at every corner of the target level and mask by the epipolar band
+    # (the reference caches unprojected corners, MapMaker.cc:527-540,
+    # :611-634; we unproject on the fly - it's one batched op).
+    img_t = kfs.pyramid[level][target_kf]
+    corner_mask = kfs.corner_mask[level][target_kf]
+    H, W = img_t.shape
+    ys, xs = jnp.mgrid[0:H, 0:W]
+    zero_xy = level_zero_pos(
+        jnp.stack([xs, ys], -1).astype(dtype), level
+    )  # [H, W, 2]
+    implane = cam_ops.unproject(cam, zero_xy.reshape(-1, 2)).reshape(H, W, 2)
+
+    dist_diff = norm_dist[:, None, None] - jnp.einsum(
+        "hwi,ci->chw", implane, normal
+    )
+    one_px = cam_ops.one_pixel_dist(cam)
+    max_dd = one_px * (4.0 + 1.0 * scale)
+    along_proj = jnp.einsum("hwi,ci->chw", implane, along)
+    band = (
+        (dist_diff * dist_diff <= max_dd * max_dd)
+        & (along_proj >= min_len[:, None, None])
+        & (along_proj <= max_len[:, None, None])
+        & corner_mask[None]
+    )
+    # In-image border for the ZMSSD patch.
+    hp = pc_cfg.half_patch_size
+    border_ok = (
+        (xs >= hp) & (xs < W - hp) & (ys >= hp) & (ys < H - hp)
+    )
+    band &= border_ok[None]
+
+    # ZMSSD of each template at each banded corner. Dense [C, H, W] ZMSSD
+    # via window sums + grouped conv, as in match.find_patch_coarse but
+    # over the full level (epipolar bands span the image).
+    sum_i = lax.reduce_window(
+        img_t, 0.0, lax.add, (2 * hp + 1, 2 * hp + 1), (1, 1), "SAME"
+    )
+    sumsq_i = lax.reduce_window(
+        img_t * img_t, 0.0, lax.add, (2 * hp + 1, 2 * hp + 1), (1, 1), "SAME"
+    )
+    cross = lax.conv_general_dilated(
+        img_t[None, None], tmpl.data[:, None], (1, 1), "SAME",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        precision=lax.Precision.HIGHEST,
+    )[0]  # [C, H, W]
+    n_pix = (2 * hp + 1) ** 2
+    ssd = (
+        sumsq_i[None]
+        + tmpl.t_sumsq[:, None, None]
+        - 2.0 * cross
+        - (tmpl.t_sum[:, None, None] - sum_i[None]) ** 2 / n_pix
+    )
+    max_ssd = pc_cfg.max_ssd_per_pixel * n_pix
+    ssd = jnp.where(band & ok[:, None, None], ssd, jnp.inf)
+    flat = ssd.reshape(C, -1)
+    best = jnp.argmin(flat, axis=1)
+    best_ssd = jnp.take_along_axis(flat, best[:, None], 1)[:, 0]
+    ok &= best_ssd < max_ssd
+    bx, by = best % W, best // W
+    best_zero = level_zero_pos(
+        jnp.stack([bx, by], -1).astype(dtype), level
+    )
+
+    # Subpixel refinement in the target (MapMaker.cc:636-646).
+    sp = match.iterate_subpix(
+        img_t, tmpl, best_zero,
+        jnp.full((C,), level, jnp.int32), ok, max_iters=10,
+        half_patch=hp,
+    )
+    ok &= sp.converged
+
+    # Triangulate in the SOURCE frame then lift to world
+    # (ReprojectPoint in frame of A=src: MapMaker.cc:648-650 triangulates
+    # in target frame with se3 src-from-target; equivalently use both
+    # world poses directly).
+    m_t = cam_ops.unproject(cam, sp.pos_zero)
+    Rs_b = jnp.broadcast_to(Rs, (C, 3, 3))
+    ts_b = jnp.broadcast_to(ts, (C, 3))
+    Rt_b = jnp.broadcast_to(Rt, (C, 3, 3))
+    tt_b = jnp.broadcast_to(tt, (C, 3))
+    pos_w = triangulate.triangulate(Rs_b, ts_b, Rt_b, tt_b, m_src, m_t)
+    # Behind-camera check in the source frame (MapMaker.cc:313-316 does
+    # this for stereo init; same sanity here).
+    z_src = triangulate.depth_in_camera(Rs_b, ts_b, pos_w)
+    z_tgt = triangulate.depth_in_camera(Rt_b, tt_b, pos_w)
+    ok &= (z_src > 0) & (z_tgt > 0)
+
+    return EpipolarResult(
+        success=ok, pos_w=pos_w, src_uv=root, target_uv=sp.pos_zero
+    )
+
+
+def insert_new_points(
+    slam_map: SLAMMap, cam, res: EpipolarResult, src_kf, target_kf,
+    level: int, max_new: int,
+):
+    """Pack successful epipolar candidates into free point slots with
+    SRC_ROOT (source) + SRC_EPIPOLAR (target) measurements. Returns
+    (map, new_point_mask[N])."""
+    pts, meas = slam_map.points, slam_map.meas
+    N = pts.n_slots
+    C = res.success.shape[0]
+    dtype = pts.pos_w.dtype
+
+    free = ~pts.valid  # [N]
+    free_rank = jnp.cumsum(free.astype(jnp.int32)) - 1  # rank among free
+    n_free = jnp.sum(free)
+    # Rank successes; candidate i goes to the free slot with its rank.
+    succ_rank = jnp.cumsum(res.success.astype(jnp.int32)) - 1
+    take = res.success & (succ_rank < jnp.minimum(n_free, max_new))
+
+    # slot_of_rank[r] = index of the r-th free slot. Candidates that are
+    # not taken scatter to index N, dropped out of range — duplicate
+    # in-range indices would make the scatter order-dependent.
+    slot_of_rank = jnp.argsort(~free)  # free slots first, stable
+    cand_slot = jnp.where(
+        take, slot_of_rank[jnp.clip(succ_rank, 0, N - 1)], N
+    )  # [C]
+
+    scale = level_scale(level)
+    cand_lvl_xy = (res.src_uv + 0.5) / scale - 0.5
+    c_nc, r_nc, d_nc, n_nc = kf_mod.candidate_rays(
+        cam, cand_lvl_xy, level
+    )
+
+    def scat(arr, val):
+        return arr.at[cand_slot].set(val, mode="drop")
+
+    pts = pts._replace(
+        valid=scat(pts.valid, jnp.ones(C, bool)),
+        bad=scat(pts.bad, jnp.zeros(C, bool)),
+        pos_w=scat(pts.pos_w, res.pos_w),
+        source_kf=scat(pts.source_kf, jnp.full((C,), src_kf, jnp.int32)),
+        source_level=scat(
+            pts.source_level, jnp.full((C,), level, jnp.int32)
+        ),
+        center=scat(pts.center, cand_lvl_xy),
+        center_nc=scat(pts.center_nc, c_nc),
+        right_nc=scat(pts.right_nc, r_nc),
+        down_nc=scat(pts.down_nc, d_nc),
+        normal_nc=scat(pts.normal_nc, n_nc),
+        inlier_count=scat(pts.inlier_count, jnp.zeros(C, jnp.int32)),
+        outlier_count=scat(pts.outlier_count, jnp.zeros(C, jnp.int32)),
+    )
+    new_mask = (
+        jnp.zeros(N, bool).at[cand_slot].set(True, mode="drop") & pts.valid
+    )
+
+    # Clear meas rows of the new points, then add the two measurements.
+    clear = new_mask[:, None]
+    meas = meas._replace(valid=meas.valid & ~clear)
+    src_uv_n = jnp.zeros((N, 2), dtype).at[cand_slot].set(
+        res.src_uv, mode="drop"
+    )
+    tgt_uv_n = jnp.zeros((N, 2), dtype).at[cand_slot].set(
+        res.target_uv, mode="drop"
+    )
+    meas = add_measurements_batch(
+        meas, new_mask, src_kf, src_uv_n, level, SRC_ROOT, True
+    )
+    meas = add_measurements_batch(
+        meas, new_mask, target_kf, tgt_uv_n, level, SRC_EPIPOLAR, True
+    )
+    sm = slam_map._replace(points=pts, meas=meas)
+    sm = sm._replace(
+        points=map_store.refresh_pixel_vectors(sm.points, sm.keyframes)
+    )
+    return sm, new_mask
+
+
+# ---------------------------------------------------------------------------
+# ReFind (MapMaker.cc:967-1095)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def refind_in_keyframe(
+    slam_map: SLAMMap, kf_idx, cam, point_mask, config: SLAMConfig,
+):
+    """Batched ReFind_Common over `point_mask` points in one keyframe:
+    project at the KF pose, warped template, coarse search radius 4,
+    subpixel if level > 0 (8 iterations). Returns
+    (slam_map, found_mask, never_retry_new): measurements are added for
+    found points; never_retry_new marks (point, this-KF) failures."""
+    pts, kfs, meas = slam_map.points, slam_map.keyframes, slam_map.meas
+    N = pts.n_slots
+    dtype = pts.pos_w.dtype
+    tc = config.tracker
+
+    R, t = kfs.R[kf_idx], kfs.t[kf_idx]
+    already = map_store.point_observed_in(meas, kf_idx)
+    active = point_mask & pts.live() & ~already
+
+    image_size = jnp.asarray([tc.width, tc.height], dtype)
+    pc = jnp.einsum("ij,nj->ni", R, pts.pos_w) + t
+    z_ok = pc[:, 2] > 0.001
+    safe_z = jnp.where(z_ok, pc[:, 2], 1.0)
+    m = pc[:, :2] / safe_z[:, None]
+    radius = cam_ops.largest_radius_in_image(cam)
+    r_ok = jnp.sum(m * m, -1) <= radius * radius
+    px, derivs = cam_ops.project_derivs(cam, m)
+    in_img = (
+        (px[:, 0] >= 0) & (px[:, 1] >= 0)
+        & (px[:, 0] <= image_size[0]) & (px[:, 1] <= image_size[1])
+    )
+    proj_ok = z_ok & r_ok & in_img
+
+    motion_right = jnp.einsum("ij,nj->ni", R, pts.pixel_right_w)
+    motion_down = jnp.einsum("ij,nj->ni", R, pts.pixel_down_w)
+    warp_inv, search_level, warp_ok = match.calc_search_level_and_warp(
+        pc, motion_right, motion_down, derivs
+    )
+    active_t = active & proj_ok & warp_ok
+
+    # Warped templates (4 masked source-level passes).
+    hp = config.patch.half_patch_size
+    data = jnp.zeros((N, 2 * hp + 1, 2 * hp + 1), dtype)
+    bad = jnp.ones(N, bool)
+    for lvl in range(N_LEVELS):
+        sel = pts.source_level == lvl
+        tl = match.make_templates_warped(
+            kfs.pyramid[lvl], pts.source_kf, pts.center,
+            warp_inv, search_level, hp,
+        )
+        data = jnp.where(sel[:, None, None], tl.data, data)
+        bad = jnp.where(sel, tl.bad, bad)
+    tmpl = match._finalize_templates(data, bad)
+    active_t = active_t & ~tmpl.bad
+
+    # Coarse search radius 4 (MapMaker.cc:1014), per search level.
+    found = jnp.zeros(N, bool)
+    pos_zero = px
+    for lvl in range(N_LEVELS):
+        sel = active_t & (search_level == lvl)
+        scale = 1 << lvl
+        pred_l = (px + 0.5) / scale - 0.5
+        res = match.find_patch_coarse(
+            kfs.pyramid[lvl][kf_idx], kfs.corner_mask[lvl][kf_idx], tmpl,
+            pred_l, jnp.ceil(jnp.full((N,), 4.0) / scale), sel,
+            search_range=4,
+        )
+        found = jnp.where(sel, res.found, found)
+        pz = (res.pos_level + 0.5) * scale - 0.5
+        pos_zero = jnp.where(sel[:, None], pz, pos_zero)
+
+    # Subpixel only when level > 0 (MapMaker.cc:1026-1035).
+    did_subpix = jnp.zeros(N, bool)
+    for lvl in range(1, N_LEVELS):
+        sel = active_t & found & (search_level == lvl)
+        res = match.iterate_subpix(
+            kfs.pyramid[lvl][kf_idx], tmpl, pos_zero, search_level, sel,
+            max_iters=8, half_patch=hp,
+        )
+        # NB reference keeps the measurement even if subpix fails to
+        # converge here (it doesn't check the return, MapMaker.cc:1028).
+        pos_zero = jnp.where(
+            (sel & res.converged)[:, None], res.pos_zero, pos_zero
+        )
+        did_subpix = did_subpix | sel
+
+    found = found & active_t
+    meas = add_measurements_batch(
+        meas, found, kf_idx, pos_zero, search_level, SRC_REFIND, did_subpix
+    )
+    never_retry_new = active & ~found
+    return slam_map._replace(meas=meas), found, never_retry_new
+
+
+# ---------------------------------------------------------------------------
+# HandleBadPoints (MapMaker.cc:140-164)
+# ---------------------------------------------------------------------------
+
+
+def handle_bad_points(slam_map: SLAMMap, config: SLAMConfig):
+    pts, meas = slam_map.points, slam_map.meas
+    newly_bad = (
+        pts.valid
+        & (pts.outlier_count > config.mapmaker.max_outliers)
+        & (pts.outlier_count > pts.inlier_count)
+    )
+    bad = pts.bad | newly_bad
+    meas = meas._replace(valid=meas.valid & ~bad[:, None])
+    # Trash-equivalent: clear the slot entirely so it can be reused.
+    pts = pts._replace(bad=jnp.zeros_like(bad), valid=pts.valid & ~bad)
+    return slam_map._replace(points=pts, meas=meas), newly_bad
+
+
+# ---------------------------------------------------------------------------
+# Global map transforms (MapMaker.cc:440-467)
+# ---------------------------------------------------------------------------
+
+
+def apply_global_transformation(slam_map: SLAMMap, R_new, t_new):
+    """ApplyGlobalTransformationToMap: KF poses right-multiplied by the
+    inverse, points transformed forward."""
+    kfs, pts = slam_map.keyframes, slam_map.points
+    Ri, ti = lie.se3_inverse(R_new, t_new)
+    R2, t2 = lie.se3_mul(kfs.R, kfs.t, jnp.broadcast_to(Ri, kfs.R.shape),
+                         jnp.broadcast_to(ti, kfs.t.shape))
+    kfs = kfs._replace(R=R2, t=t2)
+    pts = pts._replace(
+        pos_w=lie.se3_apply(R_new, t_new, pts.pos_w)
+    )
+    sm = slam_map._replace(keyframes=kfs, points=pts)
+    return sm._replace(
+        points=map_store.refresh_pixel_vectors(sm.points, sm.keyframes)
+    )
+
+
+def apply_global_scale(slam_map: SLAMMap, scale):
+    kfs, pts = slam_map.keyframes, slam_map.points
+    kfs = kfs._replace(t=kfs.t * scale)
+    pts = pts._replace(pos_w=pts.pos_w * scale)
+    sm = slam_map._replace(keyframes=kfs, points=pts)
+    return sm._replace(
+        points=map_store.refresh_pixel_vectors(sm.points, sm.keyframes)
+    )
+
+
+# ---------------------------------------------------------------------------
+# CalcPlaneAligner (MapMaker.cc:1104-1231)
+# ---------------------------------------------------------------------------
+
+
+def calc_plane_aligner(slam_map: SLAMMap, key, config: SLAMConfig):
+    """RANSAC dominant plane -> SE3 putting it at z=0. Returns (R, t,
+    valid): valid False when fewer than 10 points (reference returns
+    identity then)."""
+    mc = config.mapmaker
+    pts = slam_map.points
+    live = pts.live()
+    N = pts.n_slots
+    dtype = pts.pos_w.dtype
+    n_live = jnp.sum(live)
+
+    p = live.astype(dtype)
+    p = p / jnp.maximum(jnp.sum(p), 1.0)
+    idx = jax.random.choice(
+        key, N, shape=(mc.plane_ransac_trials, 3), p=p
+    )
+    tri = pts.pos_w[idx]  # [T, 3, 3]
+    mean = jnp.mean(tri, axis=1)
+    nrm = jnp.cross(tri[:, 2] - tri[:, 0], tri[:, 1] - tri[:, 0])
+    nlen = jnp.linalg.norm(nrm, axis=-1)
+    nrm = nrm / jnp.maximum(nlen, 1e-12)[:, None]
+    degenerate = nlen < 1e-12
+
+    diff = pts.pos_w[None] - mean[:, None]  # [T, N, 3]
+    nd = jnp.abs(jnp.einsum("tnc,tc->tn", diff, nrm))
+    nd = jnp.minimum(nd, mc.plane_inlier_threshold)
+    score = jnp.sum(jnp.where(live[None], nd, 0.0), axis=-1)
+    score = jnp.where(degenerate, jnp.inf, score)
+    best = jnp.argmin(score)
+    bmean, bnorm = mean[best], nrm[best]
+
+    d = jnp.abs(jnp.einsum("nc,c->n", pts.pos_w - bmean, bnorm))
+    inlier = live & (d < mc.plane_inlier_threshold)
+    w = inlier.astype(dtype)
+    nin = jnp.maximum(jnp.sum(w), 1.0)
+    mean_in = jnp.sum(pts.pos_w * w[:, None], 0) / nin
+    centered = (pts.pos_w - mean_in) * w[:, None]
+    cov = jnp.einsum("ni,nj->ij", centered, centered)
+    evals, evecs = jnp.linalg.eigh(cov)
+    normal = evecs[:, 0]  # min-variance direction
+    normal = jnp.where(normal[2] > 0, -normal, normal)
+
+    # Build rotation with z-row = normal (MapMaker.cc:1210-1224).
+    row0 = jnp.asarray([1.0, 0.0, 0.0], dtype)
+    row0 = row0 - normal * jnp.dot(row0, normal)
+    row0 = row0 / jnp.maximum(jnp.linalg.norm(row0), 1e-12)
+    row1 = jnp.cross(normal, row0)
+    R = jnp.stack([row0, row1, normal])
+    t = -(R @ mean_in)
+    return R, t, n_live >= 10
+
+
+# ---------------------------------------------------------------------------
+# BA set selection + problem construction (MapMaker.cc:776-960)
+# ---------------------------------------------------------------------------
+
+
+def build_ba_problem(slam_map: SLAMMap, adjust_mask, config: SLAMConfig):
+    """BAProblem over keyframes in `adjust_mask` (free) with every other
+    observing keyframe fixed; points are those observed by the adjust set
+    (all other points are excluded via point_valid)."""
+    pts, kfs, meas = slam_map.points, slam_map.keyframes, slam_map.meas
+    # Points observed by any adjust keyframe.
+    obs_in_adjust = meas.valid & adjust_mask[meas.kf]
+    pt_in = jnp.any(obs_in_adjust, axis=1) & pts.live()
+    # Fixed set: valid KFs not in the adjust set (observers or not —
+    # including non-observers only adds empty rows of S, masked anyway),
+    # plus the permanently-fixed first KF.
+    fixed = kfs.valid & (~adjust_mask | kfs.fixed)
+    noise = 2.0 ** meas.level.astype(pts.pos_w.dtype)
+    return bundle_mod.BAProblem(
+        cam_R=kfs.R, cam_t=kfs.t,
+        cam_fixed=fixed | ~kfs.valid,
+        cam_valid=kfs.valid,
+        points=pts.pos_w,
+        point_valid=pt_in,
+        meas_kf=meas.kf,
+        meas_uv=meas.uv,
+        meas_sqrt_inv_noise=jnp.where(meas.valid, 1.0 / noise, 1.0),
+        meas_valid=meas.valid & pt_in[:, None],
+    )
+
+
+def local_ba_adjust_mask(slam_map: SLAMMap, newest_kf, config: SLAMConfig):
+    """BundleAdjustRecent's adjust set: newest KF + its 4 nearest
+    neighbors (MapMaker.cc:801-824); caller should skip local BA entirely
+    when the map has < 8 keyframes (the reference bails)."""
+    kfs = slam_map.keyframes
+    d = keyframe_distances(kfs, kfs.R[newest_kf], kfs.t[newest_kf])
+    d = d.at[newest_kf].set(jnp.inf)
+    _, nearest = lax.top_k(-d, config.mapmaker.local_ba_neighbors)
+    mask = jnp.zeros(kfs.n_slots, bool).at[newest_kf].set(True)
+    mask = mask.at[nearest].set(True)
+    return mask & kfs.valid & ~kfs.fixed
+
+
+def apply_ba_result(slam_map: SLAMMap, prob, res, config: SLAMConfig):
+    """Write a BAResult back into the map and route outliers
+    (MapMaker.cc:906-959): a point dies if it has <= 2 remaining good
+    measurements or its SRC_ROOT measurement was ejected; SRC_TRACKER /
+    SRC_EPIPOLAR ejections go to the failure queue (returned as a mask);
+    others are never retried (also returned)."""
+    pts, kfs, meas = slam_map.points, slam_map.keyframes, slam_map.meas
+    kfs = kfs._replace(R=res.cam_R, t=res.cam_t)
+    pts = pts._replace(pos_w=res.points)
+
+    ej = res.outlier_meas  # [N, O]
+    remaining = jnp.sum(res.meas_valid.astype(jnp.int32), axis=1)
+    root_ejected = jnp.any(ej & (meas.source == SRC_ROOT), axis=1)
+    point_dies = pts.valid & (
+        (jnp.any(ej, axis=1) & (remaining <= 2)) | root_ejected
+    )
+    retry = ej & (
+        (meas.source == SRC_TRACKER) | (meas.source == SRC_EPIPOLAR)
+    ) & ~point_dies[:, None]
+    never = ej & ~retry & ~point_dies[:, None]
+
+    meas = meas._replace(valid=res.meas_valid & ~point_dies[:, None])
+    pts = pts._replace(valid=pts.valid & ~point_dies)
+    sm = slam_map._replace(points=pts, keyframes=kfs, meas=meas)
+    sm = sm._replace(
+        points=map_store.refresh_pixel_vectors(sm.points, sm.keyframes)
+    )
+    # (kf indices of the ejected slots for the queues)
+    return sm, retry, never, point_dies
