@@ -131,66 +131,45 @@ def _point_jacobian(pc, derivs):
 
 
 def _make_all_templates(slam_map: SLAMMap, warp_inv, search_level, half_patch):
-    """Warped templates for every point: four masked passes over SOURCE
-    pyramid levels (points gather from their own source KF/level)."""
+    """Warped templates for every point in one fused pass: per-source-level
+    slab extraction, a single separable-bilinear resample (see
+    match.make_templates_warped_multilevel)."""
     pts = slam_map.points
-    N = pts.n_slots
-    data = jnp.zeros((N, 2 * half_patch + 1, 2 * half_patch + 1), warp_inv.dtype)
-    bad = jnp.ones(N, bool)
-    for lvl in range(N_LEVELS):
-        sel = pts.source_level == lvl
-        tl = match.make_templates_warped(
-            slam_map.keyframes.pyramid[lvl], pts.source_kf, pts.center,
-            warp_inv, search_level, half_patch,
-        )
-        data = jnp.where(sel[:, None, None], tl.data, data)
-        bad = jnp.where(sel, tl.bad, bad)
-    return match._finalize_templates(data, bad)
+    return match.make_templates_warped_multilevel(
+        slam_map.keyframes.pyramid, pts.source_kf, pts.source_level,
+        pts.center, warp_inv, search_level, half_patch,
+    )
 
 
 def _search_multi_level(
     frame: FrameData, templates, pred_zero, search_level, active,
     radius_zero, max_range: int, subpix_mask, subpix_iters: int,
 ):
-    """Coarse ZMSSD + optional subpixel, dispatched over the four search
-    levels with masks. radius_zero [N] is the per-point level-0 radius
-    (traced); max_range bounds the static window per level."""
-    N = pred_zero.shape[0]
-    dtype = pred_zero.dtype
-    found = jnp.zeros(N, bool)
-    pos_zero = pred_zero
-    for lvl in range(N_LEVELS):
-        scale = 1 << lvl
-        rng_static = max(1, -(-max_range // scale))  # ceil
-        sel = active & (search_level == lvl)
-        pred_l = level_n_pos(pred_zero, lvl)
-        radius_l = jnp.ceil(radius_zero / scale)
-        res = match.find_patch_coarse(
-            frame.pyramid[lvl], frame.corner_mask[lvl], templates,
-            pred_l, radius_l, sel, search_range=rng_static,
-        )
-        found = jnp.where(sel, res.found, found)
-        # LevelZeroPos of the matched corner.
-        pz = (res.pos_level + 0.5) * scale - 0.5
-        pos_zero = jnp.where(sel[:, None], pz, pos_zero)
+    """Coarse ZMSSD + optional subpixel over all four search levels in one
+    fused pass each. radius_zero [N] is the per-point level-0 radius
+    (traced); max_range bounds the static window."""
+    res = match.find_patch_coarse_multilevel(
+        frame.pyramid, frame.corner_mask, templates, pred_zero,
+        search_level, radius_zero, active, max_range=max_range,
+    )
+    found = res.found
+    pos_zero = jnp.where(active[:, None], res.pos_level, pred_zero)
 
-    did_subpix = jnp.zeros(N, bool)
+    did_subpix = jnp.zeros(found.shape, bool)
     if subpix_iters > 0:
-        conv = jnp.zeros(N, bool)
-        refined = pos_zero
-        for lvl in range(N_LEVELS):
-            sel = active & found & subpix_mask & (search_level == lvl)
-            res = match.iterate_subpix(
-                frame.pyramid[lvl], templates, pos_zero, search_level, sel,
-                max_iters=subpix_iters,
-            )
-            conv = jnp.where(sel, res.converged, conv)
-            refined = jnp.where(sel[:, None], res.pos_zero, refined)
+        sel = active & found & subpix_mask
+        sres = match.iterate_subpix_multilevel(
+            frame.pyramid, templates, pos_zero, search_level, sel,
+            max_iters=subpix_iters,
+        )
         # Subpix failure voids the measurement (Tracker.cc:661-666).
         attempted_subpix = found & subpix_mask
-        found = jnp.where(attempted_subpix, conv, found)
-        pos_zero = jnp.where((attempted_subpix & conv)[:, None], refined, pos_zero)
-        did_subpix = attempted_subpix & conv
+        found = jnp.where(attempted_subpix, sres.converged, found)
+        pos_zero = jnp.where(
+            (attempted_subpix & sres.converged)[:, None],
+            sres.pos_zero, pos_zero,
+        )
+        did_subpix = attempted_subpix & sres.converged
     return found, pos_zero, did_subpix
 
 

@@ -167,6 +167,55 @@ def gaussian_blur(img, sigma: float, truncate: float = 3.0):
     return conv1d(conv1d(img, -1), -2)
 
 
+def extract_slabs(imgs, kf_idx, center_int, half_size):
+    """Per-point axis-aligned slabs via batched dynamic_slice.
+
+    imgs [K, H, W] (or [H, W] with kf_idx None); center_int [N, 2] integer
+    (x, y); returns (slabs [N, S, S], base_xy [N, 2]) with S = 2*half+1,
+    slab origin clamped into the image.
+
+    This is THE fast path for batched sampling on TPU: a vmapped
+    dynamic_slice keeps rows lane-contiguous (~0.1 ns/element) where a
+    per-element gather scalarizes (~10 ns/element, measured on v5e). All
+    sub-pixel work then happens as vector math inside the slab
+    (:func:`separable_bilinear`).
+    """
+    S = 2 * half_size + 1
+    H, W = imgs.shape[-2:]
+    x0 = jnp.clip(center_int[:, 0] - half_size, 0, W - S)
+    y0 = jnp.clip(center_int[:, 1] - half_size, 0, H - S)
+    if imgs.ndim == 2:
+        slabs = jax.vmap(
+            lambda x, y: lax.dynamic_slice(imgs, (y, x), (S, S))
+        )(x0, y0)
+    else:
+        slabs = jax.vmap(
+            lambda k, x, y: lax.dynamic_slice(
+                imgs, (k, y, x), (1, S, S)
+            )[0]
+        )(kf_idx, x0, y0)
+    return slabs, jnp.stack([x0, y0], axis=-1)
+
+
+def separable_bilinear(slabs, rel_xy):
+    """Bilinear-sample slabs [N, S, S] at rel_xy [N, P, 2] (slab-relative
+    float coords) WITHOUT per-element gathers: the bilinear kernel
+    w(x, y) = max(0, 1-|x|) * max(0, 1-|y|) is separable, so each sample is
+    the bilinear form  w_y^T . slab . w_x  — two batched matmuls that run
+    on the MXU instead of a scalarized gather.
+
+    Samples outside [0, S-1] get weight 0 (callers mask validity).
+    Inside the slab this is exactly 4-tap bilinear interpolation.
+    """
+    N, S, _ = slabs.shape
+    dtype = slabs.dtype
+    grid = jnp.arange(S, dtype=dtype)
+    wx = jnp.maximum(0.0, 1.0 - jnp.abs(rel_xy[..., 0:1] - grid))  # [N,P,S]
+    wy = jnp.maximum(0.0, 1.0 - jnp.abs(rel_xy[..., 1:2] - grid))  # [N,P,S]
+    tmp = jnp.einsum("nps,nst->npt", wy, slabs)
+    return jnp.sum(tmp * wx, axis=-1)  # [N, P]
+
+
 def extract_patch(img, center_xy, half_size):
     """Axis-aligned integer-centered patch via dynamic_slice; center must be
     at least half_size from the border (callers mask). Returns

@@ -44,7 +44,11 @@ import jax.numpy as jnp
 from jax import lax
 
 from visualslam_android_tpu.ops import image as img_ops
-from visualslam_android_tpu.ops.levels import level_scale, level_zero_pos
+from visualslam_android_tpu.ops.levels import (
+    level_n_pos,
+    level_scale,
+    level_zero_pos,
+)
 
 N_LEVELS = 4
 
@@ -131,23 +135,19 @@ def _finalize_templates(data, bad) -> Templates:
     return Templates(data, t_sum, t_sumsq, gx, gy, h_inv, bad)
 
 
-def make_templates_warped(
-    source_imgs, source_kf, source_center, warp_inv, search_level,
-    half_patch=5,
-):
-    """Batched MakeTemplateCoarseCont (PatchFinder.cc:79-125) for all points
-    whose source patch lives in ONE pyramid level.
+# Half-extent of the source slab a warped template samples from. The warp
+# determinant is clamped to [0.25, 3) per search level
+# (calc_search_level_and_warp, PatchFinder.cc:56-63), so the template's
+# source footprint is ~sqrt(3) * half_patch for isotropic warps; 17 covers
+# >3x that. Templates whose warp stretches beyond the slab are marked bad
+# (the reference would sample them, but such warps are degenerate views the
+# tracker rejects downstream anyway).
+TEMPLATE_SLAB_HALF = 17
 
-    source_imgs [K, H, W]: that level of every keyframe; source_kf [N];
-    source_center [N, 2] source-level coords; warp_inv [N, 2, 2] from
-    stage 1; search_level [N]. The warp applied is
-    m2 = inv(warp_inv) * 2^search_level — source pixels per template pixel.
 
-    Always regenerates (no reference-style warp cache: regenerating all
-    templates is one batched gather on TPU; the cache existed to save
-    serial CPU work, PatchFinder.cc:92-106).
-    """
-    n = 2 * half_patch + 1
+def _warp_m2(warp_inv, search_level):
+    """m2 = inv(warp_inv) * 2^search_level: source pixels per template
+    pixel (MakeTemplateCoarseCont, PatchFinder.cc:84-90)."""
     det = (
         warp_inv[:, 0, 0] * warp_inv[:, 1, 1]
         - warp_inv[:, 0, 1] * warp_inv[:, 1, 0]
@@ -163,22 +163,108 @@ def make_templates_warped(
         )
         / safe_det[:, None, None]
     )
-    m2 = inv * (2.0 ** search_level.astype(inv.dtype))[:, None, None]
+    return inv * (2.0 ** search_level.astype(inv.dtype))[:, None, None]
 
+
+def _warped_template_data(slabs, base, src, dims_wh, half_patch):
+    """Shared tail of the warped-template builders: sample the warped grid
+    from per-point slabs, mask samples outside the source image or slab."""
+    n = 2 * half_patch + 1
+    S = slabs.shape[-1]
+    rel = src - base[:, None, :].astype(src.dtype)
+    valid = (
+        (src[..., 0] >= 0)
+        & (src[..., 1] >= 0)
+        & (src[..., 0] < dims_wh[..., 0] - 1)
+        & (src[..., 1] < dims_wh[..., 1] - 1)
+        & (rel[..., 0] >= 0)
+        & (rel[..., 1] >= 0)
+        & (rel[..., 0] <= S - 1)
+        & (rel[..., 1] <= S - 1)
+    )
+    vals = img_ops.separable_bilinear(slabs, rel)
+    data = jnp.where(valid, vals, 0.0).reshape(-1, n, n)
+    bad = jnp.any(~valid, axis=-1)  # any pixel outside => template bad
+    return data, bad
+
+
+def make_templates_warped(
+    source_imgs, source_kf, source_center, warp_inv, search_level,
+    half_patch=5,
+):
+    """Batched MakeTemplateCoarseCont (PatchFinder.cc:79-125) for all points
+    whose source patch lives in ONE pyramid level.
+
+    source_imgs [K, H, W]: that level of every keyframe; source_kf [N];
+    source_center [N, 2] source-level coords; warp_inv [N, 2, 2] from
+    stage 1; search_level [N]. The warp applied is
+    m2 = inv(warp_inv) * 2^search_level — source pixels per template pixel.
+
+    Always regenerates (no reference-style warp cache: regenerating all
+    templates is one batched slab resample on TPU; the cache existed to
+    save serial CPU work, PatchFinder.cc:92-106). Sampling is slab-local:
+    per-point dynamic_slice + separable-bilinear matmuls, never a
+    per-element gather (see ops.image.extract_slabs).
+    """
+    m2 = _warp_m2(warp_inv, search_level)
     offs = img_ops.patch_grid(half_patch, m2.dtype)  # [n*n, 2]
     src = source_center[:, None, :] + jnp.einsum(
         "nij,pj->npi", m2, offs
     )  # [N, n*n, 2]
     H, W = source_imgs.shape[-2:]
-    valid = (
-        (src[..., 0] >= 0)
-        & (src[..., 1] >= 0)
-        & (src[..., 0] < W - 1)
-        & (src[..., 1] < H - 1)
+    S = 2 * TEMPLATE_SLAB_HALF + 1
+    if H < S or W < S:
+        source_imgs = jnp.pad(
+            source_imgs, ((0, 0), (0, max(0, S - H)), (0, max(0, S - W)))
+        )
+    center_int = jnp.round(source_center).astype(jnp.int32)
+    slabs, base = img_ops.extract_slabs(
+        source_imgs, source_kf, center_int, TEMPLATE_SLAB_HALF
     )
-    vals = _sample_from_stack(source_imgs, source_kf, src)
-    data = jnp.where(valid, vals, 0.0).reshape(-1, n, n)
-    bad = jnp.any(~valid, axis=-1)  # any pixel outside => template bad
+    dims = jnp.asarray([W, H], src.dtype)[None, None, :]
+    data, bad = _warped_template_data(slabs, base, src, dims, half_patch)
+    return _finalize_templates(data, bad)
+
+
+def make_templates_warped_multilevel(
+    source_pyramids, source_kf, source_level, source_center, warp_inv,
+    search_level, half_patch=5,
+):
+    """Warped templates for points whose source patches live in DIFFERENT
+    pyramid levels: one masked slab extraction per level (cheap
+    dynamic_slice passes), then a single separable-bilinear resample for
+    every point at once.
+
+    source_pyramids: tuple over levels of [K, H_l, W_l] keyframe stacks.
+    Replaces four full make_templates_warped passes (4x the interpolation
+    work) in the tracker's PVS template build.
+    """
+    N = source_kf.shape[0]
+    dtype = warp_inv.dtype
+    S = 2 * TEMPLATE_SLAB_HALF + 1
+    center_int = jnp.round(source_center).astype(jnp.int32)
+    slabs = jnp.zeros((N, S, S), dtype)
+    base = jnp.zeros((N, 2), jnp.int32)
+    dims = jnp.zeros((N, 2), dtype)
+    for lvl, imgs in enumerate(source_pyramids):
+        sel = source_level == lvl
+        H, W = imgs.shape[-2:]
+        if H < S or W < S:
+            imgs = jnp.pad(
+                imgs, ((0, 0), (0, max(0, S - H)), (0, max(0, S - W)))
+            )
+        sl, b = img_ops.extract_slabs(
+            imgs, source_kf, center_int, TEMPLATE_SLAB_HALF
+        )
+        slabs = jnp.where(sel[:, None, None], sl, slabs)
+        base = jnp.where(sel[:, None], b, base)
+        dims = jnp.where(sel[:, None], jnp.asarray([W, H], dtype), dims)
+    m2 = _warp_m2(warp_inv, search_level)
+    offs = img_ops.patch_grid(half_patch, dtype)
+    src = source_center[:, None, :] + jnp.einsum("nij,pj->npi", m2, offs)
+    data, bad = _warped_template_data(
+        slabs, base, src, dims[:, None, :], half_patch
+    )
     return _finalize_templates(data, bad)
 
 
@@ -352,6 +438,128 @@ def find_patch_coarse(
     )
 
 
+@functools.partial(
+    jax.jit, static_argnames=("max_range", "half_patch", "max_ssd_per_px")
+)
+def find_patch_coarse_multilevel(
+    pyramid, corner_masks, templates: Templates, pred_zero, search_level,
+    radius_zero, active, max_range: int, half_patch: int = 5,
+    max_ssd_per_px: int = 500,
+):
+    """FindPatchCoarse over ALL search levels in one pass: per-level masked
+    window extraction (dynamic_slice) into a unified static window, then a
+    single ZMSSD computation for every point at once.
+
+    pred_zero [N, 2]: predictions in LEVEL-0 coords; radius_zero [N]:
+    per-point level-0 search radius (<= max_range); the per-point radius is
+    scaled to the point's search level (ceil, like the reference's integer
+    level ranges, Tracker.cc:635-641). Returns found + matched position in
+    LEVEL-0 coords.
+
+    Replaces four per-level find_patch_coarse calls (each evaluating all N
+    points) with one: windows for each point come from its OWN level image,
+    high-level images padded so the unified window always fits.
+    """
+    N = templates.data.shape[0]
+    P = 2 * half_patch + 1
+    n_pix = P * P
+    max_ssd = max_ssd_per_px * n_pix
+    dtype = pred_zero.dtype
+    win_half = max_range + half_patch
+    Wn = 2 * win_half + 1
+    n_off = 2 * max_range + 1
+
+    windows = jnp.zeros((N, Wn, Wn), dtype)
+    mask_windows = jnp.zeros((N, Wn, Wn), dtype)
+    bases = jnp.zeros((N, 2), jnp.int32)
+    dims = jnp.zeros((N, 2), dtype)
+    pred_level = jnp.zeros((N, 2), dtype)
+    scale_pt = (2.0 ** search_level.astype(dtype))
+
+    for lvl in range(len(pyramid)):
+        sel = active & (search_level == lvl)
+        img = pyramid[lvl]
+        msk = corner_masks[lvl].astype(dtype)
+        H, W = img.shape
+        # High pyramid levels can be smaller than the unified window; pad
+        # so dynamic_slice stays in bounds (padding is masked out by the
+        # per-point in-image candidate check below).
+        if H < Wn or W < Wn:
+            img = jnp.pad(img, ((0, max(0, Wn - H)), (0, max(0, Wn - W))))
+            msk = jnp.pad(msk, ((0, max(0, Wn - H)), (0, max(0, Wn - W))))
+        pred_l = level_n_pos(pred_zero, lvl)
+        center_int = jnp.round(pred_l).astype(jnp.int32)
+        w, b = img_ops.extract_slabs(img, None, center_int, win_half)
+        m, _ = img_ops.extract_slabs(msk, None, center_int, win_half)
+        windows = jnp.where(sel[:, None, None], w, windows)
+        mask_windows = jnp.where(sel[:, None, None], m, mask_windows)
+        bases = jnp.where(sel[:, None], b, bases)
+        dims = jnp.where(sel[:, None], jnp.asarray([W, H], dtype), dims)
+        pred_level = jnp.where(sel[:, None], pred_l, pred_level)
+
+    radius_level = jnp.ceil(radius_zero / scale_pt)
+
+    sum_i = lax.reduce_window(
+        windows, 0.0, lax.add, (1, P, P), (1, 1, 1), "VALID"
+    )
+    sumsq_i = lax.reduce_window(
+        windows * windows, 0.0, lax.add, (1, P, P), (1, 1, 1), "VALID"
+    )
+    cross = lax.conv_general_dilated(
+        windows[None], templates.data[:, None], (1, 1), "VALID",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        feature_group_count=N,
+        precision=lax.Precision.HIGHEST,
+    )[0]
+    ssd = (
+        sumsq_i
+        + templates.t_sumsq[:, None, None]
+        - 2.0 * cross
+        - (templates.t_sum[:, None, None] - sum_i) ** 2 / n_pix
+    )
+
+    dys, dxs = jnp.mgrid[0:n_off, 0:n_off]
+    cand_xy = (
+        bases[:, None, None, :]
+        + jnp.stack([dxs, dys], axis=-1)[None]
+        + half_patch
+    )
+    is_corner = (
+        mask_windows[:, half_patch : half_patch + n_off,
+                     half_patch : half_patch + n_off]
+        > 0.5
+    )
+    d = cand_xy.astype(dtype) - pred_level[:, None, None, :]
+    in_radius = jnp.sum(d * d, axis=-1) <= (radius_level ** 2)[:, None, None]
+    in_img = (
+        (cand_xy[..., 0] >= half_patch)
+        & (cand_xy[..., 1] >= half_patch)
+        & (cand_xy[..., 0] < dims[:, None, None, 0] - half_patch)
+        & (cand_xy[..., 1] < dims[:, None, None, 1] - half_patch)
+    )
+    valid = (
+        is_corner
+        & in_radius
+        & in_img
+        & active[:, None, None]
+        & ~templates.bad[:, None, None]
+    )
+
+    ssd_m = jnp.where(valid, ssd, jnp.inf).reshape(N, -1)
+    best = jnp.argmin(ssd_m, axis=-1)
+    best_ssd = jnp.take_along_axis(ssd_m, best[:, None], axis=-1)[:, 0]
+    bx = bases[:, 0] + best % n_off + half_patch
+    by = bases[:, 1] + best // n_off + half_patch
+    pos_level = jnp.stack([bx, by], axis=-1).astype(dtype)
+    # LevelZeroPos with the per-point scale.
+    pos_zero = (pos_level + 0.5) * scale_pt[:, None] - 0.5
+    return CoarseResult(
+        found=(best_ssd < max_ssd) & active,
+        pos_level=pos_zero,
+        best_ssd=best_ssd,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Stage 4+5: inverse-composition subpixel refinement
 # ---------------------------------------------------------------------------
@@ -418,6 +626,106 @@ def iterate_subpix(
         return pos, mean_diff, converged, failed
 
     N = pos_zero.shape[0]
+    init = (
+        pos_zero.astype(dtype),
+        jnp.zeros(N, dtype),
+        jnp.zeros(N, bool),
+        jnp.zeros(N, bool),
+    )
+    pos, _, converged, failed = lax.fori_loop(0, max_iters, body, init)
+    return SubpixResult(converged=converged & ~failed, pos_zero=pos)
+
+
+# Slab half-extent for subpixel iteration: inner-patch half (half_patch-1)
+# + 1 bilinear tap + travel budget. The reference converges at 0.03 px and
+# starts from an integer-corner match, so total travel is a few pixels;
+# points that wander off the slab are marked failed (they would fail the
+# reference's off-edge check soon after anyway).
+SUBPIX_TRAVEL = 6
+
+
+@functools.partial(
+    jax.jit, static_argnames=("max_iters", "half_patch", "conv_limit")
+)
+def iterate_subpix_multilevel(
+    pyramid, templates: Templates, pos_zero, search_level, active,
+    max_iters: int = 10, half_patch: int = 5, conv_limit: float = 0.03,
+):
+    """IterateSubPixToConvergence over ALL search levels in one pass.
+
+    Per-level masked slab extraction at the coarse match position, then a
+    single fixed-iteration inverse-composition loop for every point at
+    once, sampling with separable-bilinear matmuls inside each point's own
+    slab (no per-element gathers, no per-level loop replays).
+    """
+    P = 2 * half_patch + 1
+    N = pos_zero.shape[0]
+    dtype = pos_zero.dtype
+    slab_half = (half_patch - 1) + 1 + SUBPIX_TRAVEL
+    S = 2 * slab_half + 1
+    scale = (2.0 ** search_level.astype(dtype))[:, None]
+
+    slabs = jnp.zeros((N, S, S), dtype)
+    bases = jnp.zeros((N, 2), jnp.int32)
+    dims = jnp.zeros((N, 2), dtype)
+    for lvl in range(len(pyramid)):
+        sel = active & (search_level == lvl)
+        img = pyramid[lvl]
+        H, W = img.shape
+        if H < S or W < S:
+            img = jnp.pad(img, ((0, max(0, S - H)), (0, max(0, S - W))))
+        center_l = (pos_zero + 0.5) / (1 << lvl) - 0.5  # LevelNPos
+        center_int = jnp.round(center_l).astype(jnp.int32)
+        sl, b = img_ops.extract_slabs(img, None, center_int, slab_half)
+        slabs = jnp.where(sel[:, None, None], sl, slabs)
+        bases = jnp.where(sel[:, None], b, bases)
+        dims = jnp.where(sel[:, None], jnp.asarray([W, H], dtype), dims)
+
+    inner = img_ops.patch_grid(half_patch - 1, dtype)  # [(P-2)^2, 2]
+    gx = templates.grad_x.reshape(-1, (P - 2) * (P - 2))
+    gy = templates.grad_y.reshape(-1, (P - 2) * (P - 2))
+    tmpl_inner = templates.data[:, 1:-1, 1:-1].reshape(-1, (P - 2) * (P - 2))
+    base_f = bases.astype(dtype)
+
+    def body(_, state):
+        pos, mean_diff, converged, failed = state
+        center_l = (pos + 0.5) / scale - 0.5
+        ci = jnp.round(center_l)
+        # Off-edge check with border half_patch+1 (PatchFinder.cc:299-303)
+        # against the point's own level dims, plus the slab-travel bound.
+        rel_c = center_l - base_f
+        off_edge = ~(
+            (ci[:, 0] >= half_patch + 1)
+            & (ci[:, 1] >= half_patch + 1)
+            & (ci[:, 0] < dims[:, 0] - half_patch - 1)
+            & (ci[:, 1] < dims[:, 1] - half_patch - 1)
+            & (rel_c[:, 0] >= half_patch)
+            & (rel_c[:, 1] >= half_patch)
+            & (rel_c[:, 0] <= S - 1 - half_patch)
+            & (rel_c[:, 1] <= S - 1 - half_patch)
+        )
+        failed = failed | (off_edge & ~converged & active)
+
+        rel = rel_c[:, None, :] + inner[None]  # [N, (P-2)^2, 2]
+        target = img_ops.separable_bilinear(slabs, rel)
+        diff = target - tmpl_inner + mean_diff[:, None]
+        acc = jnp.stack(
+            [
+                jnp.sum(diff * gx, axis=-1),
+                jnp.sum(diff * gy, axis=-1),
+                jnp.sum(diff, axis=-1),
+            ],
+            axis=-1,
+        )
+        update = jnp.einsum("nij,nj->ni", templates.h_inv, acc)
+        live = active & ~converged & ~failed
+        step = jnp.where(live[:, None], update[:, :2] * scale, 0.0)
+        pos = pos - step
+        mean_diff = jnp.where(live, mean_diff - update[:, 2], mean_diff)
+        upd_sq = jnp.sum(update[:, :2] ** 2, axis=-1)
+        converged = converged | (live & (upd_sq < conv_limit * conv_limit))
+        return pos, mean_diff, converged, failed
+
     init = (
         pos_zero.astype(dtype),
         jnp.zeros(N, dtype),

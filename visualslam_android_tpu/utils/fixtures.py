@@ -44,7 +44,30 @@ def build_fixed_map(config: SLAMConfig, rng, per_level=(60, 40, 24, 12),
     """One-keyframe map with exact ground-truth plane points created from
     the keyframe's Shi-Tomasi candidates.
 
-    Returns (slam_map, cam, scene, (R0, t0), n_points)."""
+    Returns (slam_map, cam, scene, (R0, t0), n_points).
+
+    Fixture construction always runs on the host CPU backend: it is a pile
+    of small sequential dispatches (per-level candidate scatter, one-off
+    front-end compiles) that would cost minutes of round-trips over a
+    remote TPU link. The finished map is transferred to the default device
+    in one hop at the end."""
+    import jax
+
+    cpu = jax.devices("cpu")[0]
+    default = jax.devices()[0]
+    with jax.default_device(cpu):
+        out = _build_fixed_map_impl(
+            config, rng, per_level, depth, px_per_m
+        )
+    slam_map, cam, scene, pose, slot = out
+    if default.platform != "cpu":
+        slam_map = jax.device_put(slam_map, default)
+        cam = jax.device_put(cam, default)
+        pose = jax.device_put(pose, default)
+    return slam_map, cam, scene, pose, slot
+
+
+def _build_fixed_map_impl(config, rng, per_level, depth, px_per_m):
     cam = cam_ops.make_camera(
         config.camera.params(), config.tracker.width, config.tracker.height
     )
