@@ -12,6 +12,7 @@ an ARMv7 phone).
 """
 
 import json
+import os
 import time
 
 import numpy as np
@@ -19,6 +20,13 @@ import numpy as np
 
 def main():
     import jax
+
+    # Persistent compilation cache: the tracking program takes minutes to
+    # compile over a remote TPU link; cached executables load in seconds.
+    cache_dir = os.path.join(os.path.dirname(__file__), ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     import jax.numpy as jnp
 
     from visualslam_android_tpu.models import keyframe as kf_mod
@@ -33,22 +41,25 @@ def main():
     )
     shape = (config.tracker.height, config.tracker.width)
 
-    # A short loop of pre-rendered frames with a moving camera.
-    n_frames = 8
+    # A short loop of pre-rendered frames with a moving camera (rendered on
+    # the host CPU backend; transferred to the bench device once).
+    n_frames = 4
     frames = []
     poses = []
-    for k in range(n_frames):
-        s = k / n_frames
-        mu = jnp.asarray(
-            [0.05 * np.sin(6.28 * s), 0.02 * s, 0.03 * s,
-             0.0, 0.04 * np.sin(6.28 * s), 0.01 * s],
-            jnp.float32,
-        )
-        dR, dt = lie.se3_exp(mu)
-        Rk, tk = lie.se3_mul(dR, dt, R0, t0)
-        img = synthetic.render(scene, cam, Rk, tk, shape)
-        poses.append((Rk, tk))
-        frames.append(img)
+    device = jax.devices()[0]
+    with jax.default_device(jax.devices("cpu")[0]):
+        for k in range(n_frames):
+            s = k / n_frames
+            mu = jnp.asarray(
+                [0.05 * np.sin(6.28 * s), 0.02 * s, 0.03 * s,
+                 0.0, 0.04 * np.sin(6.28 * s), 0.01 * s],
+                jnp.float32,
+            )
+            dR, dt = lie.se3_exp(mu)
+            Rk, tk = lie.se3_mul(dR, dt, R0, t0)
+            img = synthetic.render(scene, cam, Rk, tk, shape)
+            poses.append(jax.device_put((Rk, tk), device))
+            frames.append(jax.device_put(img, device))
 
     @jax.jit
     def step(img, slam_map, R, t, key):

@@ -155,3 +155,69 @@ def test_in_image_with_border():
     )
     # Bounds are strict on the high side (px < cols - border).
     assert list(np.asarray(ok)) == [True, False, False, True]
+
+
+def test_extract_regions_contains_slab(rng):
+    import jax.numpy as jnp
+    from visualslam_android_tpu.ops import image as img_ops
+
+    H, W, N, R = 97, 133, 64, 16
+    img = jnp.asarray(rng.random((H, W)).astype(np.float32))
+    cx = rng.integers(0, W, N)
+    cy = rng.integers(0, H, N)
+    origin = jnp.asarray(np.stack([cx - R, cy - R], -1), jnp.int32)
+    slab = 2 * R + 1
+    regions, base = img_ops.extract_regions(img, None, origin, slab)
+    regions, base = np.asarray(regions), np.asarray(base)
+    imgn = np.asarray(img)
+    for n in range(N):
+        for (dx, dy) in [(-R, -R), (R, R), (0, 0), (R, -R)]:
+            x, y = int(cx[n] + dx), int(cy[n] + dy)
+            if 0 <= x < W and 0 <= y < H:
+                rx, ry = x - base[n, 0], y - base[n, 1]
+                assert 0 <= rx < regions.shape[2]
+                assert 0 <= ry < regions.shape[1]
+                assert regions[n, ry, rx] == imgn[y, x]
+
+
+def test_extract_regions_stack_kf_index(rng):
+    import jax.numpy as jnp
+    from visualslam_android_tpu.ops import image as img_ops
+
+    K, H, W, N, R = 3, 64, 96, 32, 11
+    imgs = jnp.asarray(rng.random((K, H, W)).astype(np.float32))
+    kf = jnp.asarray(rng.integers(0, K, N), jnp.int32)
+    cx = rng.integers(R, W - R, N)
+    cy = rng.integers(R, H - R, N)
+    origin = jnp.asarray(np.stack([cx - R, cy - R], -1), jnp.int32)
+    regions, base = img_ops.extract_regions(imgs, kf, origin, 2 * R + 1)
+    regions, base = np.asarray(regions), np.asarray(base)
+    imgsn = np.asarray(imgs)
+    for n in range(N):
+        x, y = int(cx[n]), int(cy[n])
+        assert regions[n, y - base[n, 1], x - base[n, 0]] == \
+            imgsn[int(kf[n]), y, x]
+
+
+def test_separable_bilinear_matches_bilinear_sample(rng):
+    import jax.numpy as jnp
+    from visualslam_android_tpu.ops import image as img_ops
+
+    S, N, P = 32, 16, 25
+    slabs = jnp.asarray(rng.random((N, S, S)).astype(np.float32) * 255)
+    rel = jnp.asarray(rng.random((N, P, 2)).astype(np.float32) * (S - 1.01))
+    out = np.asarray(img_ops.separable_bilinear(slabs, rel))
+    for n in range(N):
+        ref = np.asarray(img_ops.bilinear_sample(slabs[n], rel[n]))
+        np.testing.assert_allclose(out[n], ref, rtol=1e-5, atol=1e-3)
+
+
+def test_inv3x3_matches_linalg(rng):
+    import jax.numpy as jnp
+    from visualslam_android_tpu.ops import wls as wls_ops
+
+    A = rng.random((40, 3, 3)).astype(np.float32) + \
+        3 * np.eye(3, dtype=np.float32)
+    got = np.asarray(wls_ops.inv3x3(jnp.asarray(A)))
+    want = np.linalg.inv(A)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)

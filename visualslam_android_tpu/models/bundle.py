@@ -45,6 +45,7 @@ from jax import lax
 from visualslam_android_tpu.ops import camera as cam_ops
 from visualslam_android_tpu.ops import lie
 from visualslam_android_tpu.ops import mestimator as me
+from visualslam_android_tpu.ops import wls as wls_ops
 
 MIN_SIGMA_SQ = 0.16  # (0.4)^2, Bundle.cc:224
 
@@ -288,7 +289,7 @@ def bundle_adjust(
                 singular[:, None, None], jnp.eye(3, dtype=dtype)[None], Vs
             )
             Vinv = jnp.where(
-                singular[:, None, None], 0.0, jnp.linalg.inv(Vs_safe)
+                singular[:, None, None], 0.0, wls_ops.inv3x3(Vs_safe)
             )
 
             Y = jnp.einsum("noab,nbc->noac", W, Vinv)  # [N, O, 6, 3]

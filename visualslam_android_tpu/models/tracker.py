@@ -250,21 +250,30 @@ def track_map(
         (search_level == N_LEVELS - 1).astype(dtype) + rand_pri * 0.999,
         -1.0,
     )
-    _, top_idx = jax.lax.top_k(rank_key, min(coarse_max, N))
-    coarse_sel = jnp.zeros(N, bool).at[top_idx].set(True) & high
+    C = min(coarse_max, N)
+    _, top_idx = jax.lax.top_k(rank_key, C)
     try_coarse = (
         (not tc.disable_coarse)
         & (velocity_msd_mag >= tc.coarse_min_velocity)
         | jnp.asarray(bool(recovered))
     ) & (n_high > tc.coarse_min)
-    coarse_sel = coarse_sel & try_coarse
+    coarse_sel = jnp.zeros(N, bool).at[top_idx].set(True) & high & try_coarse
 
     # ---- Coarse search + 10 GN iterations (Tracker.cc:462-490) ----
-    c_found, c_pos, c_subpix = _search_multi_level(
-        frame, templates, px, search_level, coarse_sel,
-        jnp.full((N,), float(coarse_range), dtype),
-        coarse_range, jnp.ones(N, bool), tc.coarse_sub_pix_its,
+    # The wide-range (30 px) search only ever runs on <= coarse_max points,
+    # so compact the selected subset into a dense [C] block (row gathers),
+    # search there, and scatter results back to the full point set.
+    take = functools.partial(jnp.take, indices=top_idx, axis=0)
+    c_templates = match.Templates(*(take(f) for f in templates))
+    c_active = take(high) & try_coarse
+    cc_found, cc_pos, cc_subpix = _search_multi_level(
+        frame, c_templates, take(px), take(search_level), c_active,
+        jnp.full((C,), float(coarse_range), dtype),
+        coarse_range, jnp.ones(C, bool), tc.coarse_sub_pix_its,
     )
+    c_found = jnp.zeros(N, bool).at[top_idx].set(cc_found) & coarse_sel
+    c_pos = px.at[top_idx].set(cc_pos)
+    c_subpix = jnp.zeros(N, bool).at[top_idx].set(cc_subpix) & coarse_sel
     n_coarse_found = jnp.sum(c_found)
     did_coarse = try_coarse & (n_coarse_found >= tc.coarse_min)
 

@@ -197,6 +197,64 @@ def extract_slabs(imgs, kf_idx, center_int, half_size):
     return slabs, jnp.stack([x0, y0], axis=-1)
 
 
+def region_size(slab_size: int, tile: int = 32) -> int:
+    """Region edge length G for :func:`extract_regions`: the smallest
+    multiple of `tile` that contains a `slab_size` window at any alignment
+    (worst case the window starts at tile offset tile-1)."""
+    return tile * -(-(tile - 1 + slab_size) // tile)
+
+
+def extract_regions(imgs, kf_idx, origin_int, slab_size: int,
+                    tile: int = 32):
+    """Per-point image regions WITHOUT serial per-point slicing.
+
+    imgs [K, H, W] (or [H, W] with kf_idx None); origin_int [N, 2] = the
+    (x, y) top-left corner of the slab each point needs; returns
+    (regions [N, G, G], base_xy [N, 2]) with G = region_size(slab_size),
+    guaranteeing that every in-image pixel of
+    [origin, origin + slab_size) lies inside the region.
+
+    Method: the image is cut into non-overlapping tile x tile blocks by a
+    pure reshape, and each point row-gathers the (G/tile)^2 block of tiles
+    containing its slab. Row gathers of whole tiles vectorize on TPU,
+    where a vmapped dynamic_slice (or block lax.gather) lowers to a
+    2048-iteration sequential while loop (~3.7 ms vs ~1.1 ms measured on
+    v5e for 2048 35x35 slabs from 800x480).
+    """
+    G = region_size(slab_size, tile)
+    g = G // tile
+    H, W = imgs.shape[-2:]
+    if imgs.ndim == 2:
+        imgs = imgs[None]
+        kf_idx = jnp.zeros(origin_int.shape[0], jnp.int32)
+    K = imgs.shape[0]
+    Hp = max(tile * -(-H // tile), G)
+    Wp = max(tile * -(-W // tile), G)
+    if (Hp, Wp) != (H, W):
+        imgs = jnp.pad(imgs, ((0, 0), (0, Hp - H), (0, Wp - W)))
+    Ty, Tx = Hp // tile, Wp // tile
+    tiles = (
+        imgs.reshape(K, Ty, tile, Tx, tile)
+        .transpose(0, 1, 3, 2, 4)
+        .reshape(K * Ty * Tx, tile * tile)
+    )
+    tx = jnp.clip(origin_int[:, 0] // tile, 0, Tx - g)
+    ty = jnp.clip(origin_int[:, 1] // tile, 0, Ty - g)
+    idx = kf_idx * (Ty * Tx) + ty * Tx + tx
+    rows = []
+    for i in range(g):
+        cols = [
+            jnp.take(tiles, idx + i * Tx + j, axis=0).reshape(
+                -1, tile, tile
+            )
+            for j in range(g)
+        ]
+        rows.append(jnp.concatenate(cols, axis=2))
+    regions = jnp.concatenate(rows, axis=1)  # [N, G, G]
+    base = jnp.stack([tx * tile, ty * tile], axis=-1)
+    return regions, base
+
+
 def separable_bilinear(slabs, rel_xy):
     """Bilinear-sample slabs [N, S, S] at rel_xy [N, P, 2] (slab-relative
     float coords) WITHOUT per-element gathers: the bilinear kernel

@@ -44,6 +44,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from visualslam_android_tpu.ops import image as img_ops
+from visualslam_android_tpu.ops import wls as wls_ops
 from visualslam_android_tpu.ops.levels import (
     level_n_pos,
     level_scale,
@@ -129,20 +130,20 @@ def _finalize_templates(data, bad) -> Templates:
     ones = jnp.ones_like(gx)
     J = jnp.stack([gx, gy, ones], axis=-1)  # [N, P-2, P-2, 3]
     H = jnp.einsum("nhwi,nhwj->nij", J, J)
-    h_inv = jnp.linalg.inv(
-        H + 1e-6 * jnp.eye(3, dtype=data.dtype)
-    )
+    # Closed-form batched inverse: jnp.linalg.inv lowers to a serial LU
+    # while-loop on TPU.
+    h_inv = wls_ops.inv3x3(H + 1e-6 * jnp.eye(3, dtype=data.dtype))
     return Templates(data, t_sum, t_sumsq, gx, gy, h_inv, bad)
 
 
 # Half-extent of the source slab a warped template samples from. The warp
 # determinant is clamped to [0.25, 3) per search level
 # (calc_search_level_and_warp, PatchFinder.cc:56-63), so the template's
-# source footprint is ~sqrt(3) * half_patch for isotropic warps; 17 covers
+# source footprint is ~sqrt(3) * half_patch for isotropic warps; 16 covers
 # >3x that. Templates whose warp stretches beyond the slab are marked bad
 # (the reference would sample them, but such warps are degenerate views the
 # tracker rejects downstream anyway).
-TEMPLATE_SLAB_HALF = 17
+TEMPLATE_SLAB_HALF = 16
 
 
 def _warp_m2(warp_inv, search_level):
@@ -166,23 +167,23 @@ def _warp_m2(warp_inv, search_level):
     return inv * (2.0 ** search_level.astype(inv.dtype))[:, None, None]
 
 
-def _warped_template_data(slabs, base, src, dims_wh, half_patch):
+def _warped_template_data(regions, base, center, src, dims_wh, half_patch):
     """Shared tail of the warped-template builders: sample the warped grid
-    from per-point slabs, mask samples outside the source image or slab."""
+    from per-point regions, mask samples outside the source image or the
+    +-TEMPLATE_SLAB_HALF slab around the source center (the region is
+    guaranteed to contain that slab by extract_regions)."""
     n = 2 * half_patch + 1
-    S = slabs.shape[-1]
     rel = src - base[:, None, :].astype(src.dtype)
+    d = jnp.abs(src - center[:, None, :])
     valid = (
         (src[..., 0] >= 0)
         & (src[..., 1] >= 0)
         & (src[..., 0] < dims_wh[..., 0] - 1)
         & (src[..., 1] < dims_wh[..., 1] - 1)
-        & (rel[..., 0] >= 0)
-        & (rel[..., 1] >= 0)
-        & (rel[..., 0] <= S - 1)
-        & (rel[..., 1] <= S - 1)
+        & (d[..., 0] <= TEMPLATE_SLAB_HALF - 1)
+        & (d[..., 1] <= TEMPLATE_SLAB_HALF - 1)
     )
-    vals = img_ops.separable_bilinear(slabs, rel)
+    vals = img_ops.separable_bilinear(regions, rel)
     data = jnp.where(valid, vals, 0.0).reshape(-1, n, n)
     bad = jnp.any(~valid, axis=-1)  # any pixel outside => template bad
     return data, bad
@@ -212,17 +213,15 @@ def make_templates_warped(
         "nij,pj->npi", m2, offs
     )  # [N, n*n, 2]
     H, W = source_imgs.shape[-2:]
-    S = 2 * TEMPLATE_SLAB_HALF + 1
-    if H < S or W < S:
-        source_imgs = jnp.pad(
-            source_imgs, ((0, 0), (0, max(0, S - H)), (0, max(0, S - W)))
-        )
     center_int = jnp.round(source_center).astype(jnp.int32)
-    slabs, base = img_ops.extract_slabs(
-        source_imgs, source_kf, center_int, TEMPLATE_SLAB_HALF
+    regions, base = img_ops.extract_regions(
+        source_imgs, source_kf, center_int - TEMPLATE_SLAB_HALF,
+        2 * TEMPLATE_SLAB_HALF + 1,
     )
     dims = jnp.asarray([W, H], src.dtype)[None, None, :]
-    data, bad = _warped_template_data(slabs, base, src, dims, half_patch)
+    data, bad = _warped_template_data(
+        regions, base, source_center, src, dims, half_patch
+    )
     return _finalize_templates(data, bad)
 
 
@@ -241,29 +240,26 @@ def make_templates_warped_multilevel(
     """
     N = source_kf.shape[0]
     dtype = warp_inv.dtype
-    S = 2 * TEMPLATE_SLAB_HALF + 1
+    slab = 2 * TEMPLATE_SLAB_HALF + 1
+    G = img_ops.region_size(slab)
     center_int = jnp.round(source_center).astype(jnp.int32)
-    slabs = jnp.zeros((N, S, S), dtype)
+    regions = jnp.zeros((N, G, G), dtype)
     base = jnp.zeros((N, 2), jnp.int32)
     dims = jnp.zeros((N, 2), dtype)
     for lvl, imgs in enumerate(source_pyramids):
         sel = source_level == lvl
         H, W = imgs.shape[-2:]
-        if H < S or W < S:
-            imgs = jnp.pad(
-                imgs, ((0, 0), (0, max(0, S - H)), (0, max(0, S - W)))
-            )
-        sl, b = img_ops.extract_slabs(
-            imgs, source_kf, center_int, TEMPLATE_SLAB_HALF
+        rg, b = img_ops.extract_regions(
+            imgs, source_kf, center_int - TEMPLATE_SLAB_HALF, slab
         )
-        slabs = jnp.where(sel[:, None, None], sl, slabs)
+        regions = jnp.where(sel[:, None, None], rg, regions)
         base = jnp.where(sel[:, None], b, base)
         dims = jnp.where(sel[:, None], jnp.asarray([W, H], dtype), dims)
     m2 = _warp_m2(warp_inv, search_level)
     offs = img_ops.patch_grid(half_patch, dtype)
     src = source_center[:, None, :] + jnp.einsum("nij,pj->npi", m2, offs)
     data, bad = _warped_template_data(
-        slabs, base, src, dims[:, None, :], half_patch
+        regions, base, source_center, src, dims[:, None, :], half_patch
     )
     return _finalize_templates(data, bad)
 
@@ -467,10 +463,11 @@ def find_patch_coarse_multilevel(
     dtype = pred_zero.dtype
     win_half = max_range + half_patch
     Wn = 2 * win_half + 1
-    n_off = 2 * max_range + 1
+    G = img_ops.region_size(Wn)
+    n_off = G - P + 1
 
-    windows = jnp.zeros((N, Wn, Wn), dtype)
-    mask_windows = jnp.zeros((N, Wn, Wn), dtype)
+    windows = jnp.zeros((N, G, G), dtype)
+    mask_windows = jnp.zeros((N, G, G), dtype)
     bases = jnp.zeros((N, 2), jnp.int32)
     dims = jnp.zeros((N, 2), dtype)
     pred_level = jnp.zeros((N, 2), dtype)
@@ -481,16 +478,10 @@ def find_patch_coarse_multilevel(
         img = pyramid[lvl]
         msk = corner_masks[lvl].astype(dtype)
         H, W = img.shape
-        # High pyramid levels can be smaller than the unified window; pad
-        # so dynamic_slice stays in bounds (padding is masked out by the
-        # per-point in-image candidate check below).
-        if H < Wn or W < Wn:
-            img = jnp.pad(img, ((0, max(0, Wn - H)), (0, max(0, Wn - W))))
-            msk = jnp.pad(msk, ((0, max(0, Wn - H)), (0, max(0, Wn - W))))
         pred_l = level_n_pos(pred_zero, lvl)
-        center_int = jnp.round(pred_l).astype(jnp.int32)
-        w, b = img_ops.extract_slabs(img, None, center_int, win_half)
-        m, _ = img_ops.extract_slabs(msk, None, center_int, win_half)
+        origin = jnp.round(pred_l).astype(jnp.int32) - win_half
+        w, b = img_ops.extract_regions(img, None, origin, Wn)
+        m, _ = img_ops.extract_regions(msk, None, origin, Wn)
         windows = jnp.where(sel[:, None, None], w, windows)
         mask_windows = jnp.where(sel[:, None, None], m, mask_windows)
         bases = jnp.where(sel[:, None], b, bases)
@@ -662,24 +653,25 @@ def iterate_subpix_multilevel(
     N = pos_zero.shape[0]
     dtype = pos_zero.dtype
     slab_half = (half_patch - 1) + 1 + SUBPIX_TRAVEL
-    S = 2 * slab_half + 1
+    slab = 2 * slab_half + 1
+    G = img_ops.region_size(slab)
     scale = (2.0 ** search_level.astype(dtype))[:, None]
 
-    slabs = jnp.zeros((N, S, S), dtype)
+    slabs = jnp.zeros((N, G, G), dtype)
     bases = jnp.zeros((N, 2), jnp.int32)
     dims = jnp.zeros((N, 2), dtype)
+    center0 = jnp.zeros((N, 2), dtype)
     for lvl in range(len(pyramid)):
         sel = active & (search_level == lvl)
         img = pyramid[lvl]
         H, W = img.shape
-        if H < S or W < S:
-            img = jnp.pad(img, ((0, max(0, S - H)), (0, max(0, S - W))))
         center_l = (pos_zero + 0.5) / (1 << lvl) - 0.5  # LevelNPos
-        center_int = jnp.round(center_l).astype(jnp.int32)
-        sl, b = img_ops.extract_slabs(img, None, center_int, slab_half)
+        origin = jnp.round(center_l).astype(jnp.int32) - slab_half
+        sl, b = img_ops.extract_regions(img, None, origin, slab)
         slabs = jnp.where(sel[:, None, None], sl, slabs)
         bases = jnp.where(sel[:, None], b, bases)
         dims = jnp.where(sel[:, None], jnp.asarray([W, H], dtype), dims)
+        center0 = jnp.where(sel[:, None], center_l, center0)
 
     inner = img_ops.patch_grid(half_patch - 1, dtype)  # [(P-2)^2, 2]
     gx = templates.grad_x.reshape(-1, (P - 2) * (P - 2))
@@ -692,21 +684,20 @@ def iterate_subpix_multilevel(
         center_l = (pos + 0.5) / scale - 0.5
         ci = jnp.round(center_l)
         # Off-edge check with border half_patch+1 (PatchFinder.cc:299-303)
-        # against the point's own level dims, plus the slab-travel bound.
-        rel_c = center_l - base_f
+        # against the point's own level dims, plus the slab-travel bound
+        # (the extracted region only covers +-SUBPIX_TRAVEL of motion).
+        travel = jnp.abs(center_l - center0)
         off_edge = ~(
             (ci[:, 0] >= half_patch + 1)
             & (ci[:, 1] >= half_patch + 1)
             & (ci[:, 0] < dims[:, 0] - half_patch - 1)
             & (ci[:, 1] < dims[:, 1] - half_patch - 1)
-            & (rel_c[:, 0] >= half_patch)
-            & (rel_c[:, 1] >= half_patch)
-            & (rel_c[:, 0] <= S - 1 - half_patch)
-            & (rel_c[:, 1] <= S - 1 - half_patch)
+            & (travel[:, 0] <= SUBPIX_TRAVEL - 1)
+            & (travel[:, 1] <= SUBPIX_TRAVEL - 1)
         )
         failed = failed | (off_edge & ~converged & active)
 
-        rel = rel_c[:, None, :] + inner[None]  # [N, (P-2)^2, 2]
+        rel = (center_l - base_f)[:, None, :] + inner[None]
         target = img_ops.separable_bilinear(slabs, rel)
         diff = target - tmpl_inner + mean_diff[:, None]
         acc = jnp.stack(

@@ -45,3 +45,36 @@ def solve_spd(A, b, ridge=1e-9):
     A = A + ridge * jnp.eye(n, dtype=A.dtype)
     L, low = jsl.cho_factor(A, lower=True)
     return jsl.cho_solve((L, low), b)
+
+
+def inv3x3(A):
+    """Closed-form (adjugate) inverse of batched 3x3 matrices.
+
+    jnp.linalg.inv on a [N, 3, 3] batch lowers to a serial LU while-loop
+    on TPU (~2x slower than this at N=2048, and off the vector units);
+    the adjugate form is pure elementwise math. Callers guard
+    singular/masked entries themselves.
+    """
+    a, b, c = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
+    d, e, f = A[..., 1, 0], A[..., 1, 1], A[..., 1, 2]
+    g, h, i = A[..., 2, 0], A[..., 2, 1], A[..., 2, 2]
+    A11 = e * i - f * h
+    A12 = c * h - b * i
+    A13 = b * f - c * e
+    A21 = f * g - d * i
+    A22 = a * i - c * g
+    A23 = c * d - a * f
+    A31 = d * h - e * g
+    A32 = b * g - a * h
+    A33 = a * e - b * d
+    det = a * A11 + b * A21 + c * A31
+    safe = jnp.where(jnp.abs(det) < 1e-30, 1.0, det)
+    inv = jnp.stack(
+        [
+            jnp.stack([A11, A12, A13], axis=-1),
+            jnp.stack([A21, A22, A23], axis=-1),
+            jnp.stack([A31, A32, A33], axis=-1),
+        ],
+        axis=-2,
+    )
+    return inv / safe[..., None, None]
