@@ -345,25 +345,14 @@ def find_patch_coarse(
     H, W = img.shape
     win_half = search_range + half_patch
     Wn = 2 * win_half + 1
-    n_off = 2 * search_range + 1
+    G = img_ops.region_size(Wn)
+    n_off = G - P + 1
 
-    center_int = jnp.round(pos_level).astype(jnp.int32)
-
-    def grab(center):
-        x0 = jnp.clip(center[0] - win_half, 0, W - Wn)
-        y0 = jnp.clip(center[1] - win_half, 0, H - Wn)
-        return lax.dynamic_slice(img, (y0, x0), (Wn, Wn)), jnp.stack([x0, y0])
-
-    windows, bases = jax.vmap(grab)(center_int)  # [N, Wn, Wn], [N, 2]
-    mask_f = corner_mask.astype(img.dtype)
-    mask_windows = jax.vmap(
-        lambda c: lax.dynamic_slice(
-            mask_f,
-            (jnp.clip(c[1] - win_half, 0, H - Wn),
-             jnp.clip(c[0] - win_half, 0, W - Wn)),
-            (Wn, Wn),
-        )
-    )(center_int)
+    origin = jnp.round(pos_level).astype(jnp.int32) - win_half
+    windows, bases = img_ops.extract_regions(img, None, origin, Wn)
+    mask_windows, _ = img_ops.extract_regions(
+        corner_mask.astype(img.dtype), None, origin, Wn
+    )
 
     # Patch sums over every candidate offset (VALID windows).
     sum_i = lax.reduce_window(
@@ -572,6 +561,8 @@ def iterate_subpix(
     pyramid level: fixed-iteration loop with per-point converged/failed
     masks. pos_zero [N, 2] is the coarse result in LEVEL-0 coords; updates
     are scaled back by the level scale exactly as in the reference (:339).
+    Sampling runs inside per-point regions (tile row-gathers +
+    separable-bilinear matmuls; see ops.image.extract_regions).
     """
     P = 2 * half_patch + 1
     H, W = img.shape
@@ -582,22 +573,33 @@ def iterate_subpix(
     gy = templates.grad_y.reshape(-1, (P - 2) * (P - 2))
     tmpl_inner = templates.data[:, 1:-1, 1:-1].reshape(-1, (P - 2) * (P - 2))
 
+    slab_half = half_patch + SUBPIX_TRAVEL
+    center0 = (pos_zero + 0.5) / scale - 0.5
+    origin = jnp.round(center0).astype(jnp.int32) - slab_half
+    slabs, bases = img_ops.extract_regions(
+        img, None, origin, 2 * slab_half + 1
+    )
+    base_f = bases.astype(dtype)
+
     def body(_, state):
         pos, mean_diff, converged, failed = state
         center_l = (pos + 0.5) / scale - 0.5  # LevelNPos
         # Off-edge check with border half_patch+1 on the rounded center
-        # (PatchFinder.cc:299-303).
+        # (PatchFinder.cc:299-303), plus the region-travel bound.
         ci = jnp.round(center_l)
+        travel = jnp.abs(center_l - center0)
         off_edge = ~(
             (ci[:, 0] >= half_patch + 1)
             & (ci[:, 1] >= half_patch + 1)
             & (ci[:, 0] < W - half_patch - 1)
             & (ci[:, 1] < H - half_patch - 1)
+            & (travel[:, 0] <= SUBPIX_TRAVEL - 1)
+            & (travel[:, 1] <= SUBPIX_TRAVEL - 1)
         )
         failed = failed | (off_edge & ~converged & active)
 
-        src = center_l[:, None, :] + inner[None]  # [N, (P-2)^2, 2]
-        target = img_ops.bilinear_sample(img, src)
+        rel = (center_l - base_f)[:, None, :] + inner[None]
+        target = img_ops.separable_bilinear(slabs, rel)
         diff = target - tmpl_inner + mean_diff[:, None]
         acc = jnp.stack(
             [
@@ -754,19 +756,14 @@ def find_minipatch(
     H, W = img.shape
     win_half = search_range + half_patch
     Wn = 2 * win_half + 1
-    n_off = 2 * search_range + 1
+    G = img_ops.region_size(Wn)
+    n_off = G - P + 1
 
-    center_int = jnp.round(pos).astype(jnp.int32)
-
-    def grab(src, c):
-        x0 = jnp.clip(c[0] - win_half, 0, W - Wn)
-        y0 = jnp.clip(c[1] - win_half, 0, H - Wn)
-        return lax.dynamic_slice(src, (y0, x0), (Wn, Wn)), jnp.stack([x0, y0])
-
-    windows, bases = jax.vmap(lambda c: grab(img, c))(center_int)
-    mask_windows, _ = jax.vmap(
-        lambda c: grab(corner_mask.astype(img.dtype), c)
-    )(center_int)
+    origin = jnp.round(pos).astype(jnp.int32) - win_half
+    windows, bases = img_ops.extract_regions(img, None, origin, Wn)
+    mask_windows, _ = img_ops.extract_regions(
+        corner_mask.astype(img.dtype), None, origin, Wn
+    )
 
     sumsq_i = lax.reduce_window(
         windows * windows, 0.0, lax.add, (1, P, P), (1, 1, 1), "VALID"
