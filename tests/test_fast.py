@@ -118,3 +118,19 @@ def test_top_k_fewer_corners_than_k():
     kept = fast.nonmax_3x3(mask, score)
     xy, valid = fast.top_k_corners(kept, score, 64)
     assert int(np.asarray(valid).sum()) == int(np.asarray(kept).sum())
+
+
+def test_pallas_fast_matches_dense(rng):
+    """The Pallas strip kernel (interpreter mode) must match the dense jnp
+    detector: identical corner masks, identical interior scores (border
+    scores differ by padding semantics and are never consumed)."""
+    from visualslam_android_tpu.ops import fast, fast_pallas
+
+    img = jnp.asarray((rng.random((150, 210)) * 255).astype(np.float32))
+    for thresh, arc in ((10, 10), (15, 10), (20, 9)):
+        m0, s0 = fast._detect_jnp(img, thresh, arc)
+        m1, s1 = fast_pallas.detect(img, thresh, arc, interpret=True)
+        np.testing.assert_array_equal(np.asarray(m0), np.asarray(m1))
+        np.testing.assert_allclose(
+            np.asarray(s0)[3:-3, 3:-3], np.asarray(s1)[3:-3, 3:-3]
+        )

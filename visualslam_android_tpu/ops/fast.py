@@ -48,7 +48,6 @@ def _ring_stack(img):
     return jnp.stack(views, axis=0)
 
 
-@functools.partial(jax.jit, static_argnames=("threshold", "arc_length"))
 def detect(img, threshold: int, arc_length: int = 10):
     """FAST segment test: (corner_mask[H, W], score[H, W]).
 
@@ -59,7 +58,29 @@ def detect(img, threshold: int, arc_length: int = 10):
 
     score is old_style_corner_score (cvfast.cpp:9337-9369) evaluated with
     the same threshold as the detection barrier.
+
+    Dispatch is at LOWERING time (platform_dependent): on CPU the dense
+    jnp formulation below runs; everywhere else the strip-mined Pallas
+    kernel (ops/fast_pallas.py) does — one HBM read/write per pixel
+    instead of 16 materialized ring shifts. Score values in the 3px ring
+    border differ between the two (edge-pad vs wraparound); no consumer
+    reads them (corners exclude the border).
     """
+    from visualslam_android_tpu.ops import fast_pallas
+
+    return jax.lax.platform_dependent(
+        img,
+        cpu=functools.partial(
+            _detect_jnp, threshold=threshold, arc_length=arc_length
+        ),
+        default=functools.partial(
+            fast_pallas.detect, threshold=threshold, arc_length=arc_length
+        ),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("threshold", "arc_length"))
+def _detect_jnp(img, threshold: int, arc_length: int = 10):
     ring = _ring_stack(img)  # [16, H, W]
     hi = img + threshold
     lo = img - threshold
