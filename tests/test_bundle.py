@@ -166,3 +166,135 @@ def test_ba_iteration_budget(rng):
     # Budget respected: no more than 3 inner iterations happened. The
     # counter is internal; proxy: accepted <= 3.
     assert int(res.accepted) <= 3
+
+
+# ---------------------------------------------------------------------------
+# Scalable paths: scatter assembly and matrix-free PCG (KITTI-scale BA)
+# ---------------------------------------------------------------------------
+
+
+def test_ba_scatter_assembly_matches_onehot(rng):
+    prob, cam, *_ = _make_problem(rng, perturb=0.02, n_outlier_meas=4)
+    res_a = bundle.bundle_adjust(prob, cam, max_iters=8, point_block=64)
+    res_b = bundle.bundle_adjust(
+        prob, cam, max_iters=8, point_block=64, assembly="scatter"
+    )
+    # Same math, different assembly order: results agree to float tolerance.
+    np.testing.assert_allclose(
+        np.asarray(res_a.cam_t), np.asarray(res_b.cam_t), atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(res_a.points), np.asarray(res_b.points), atol=1e-4
+    )
+    assert bool((res_a.outlier_meas == res_b.outlier_meas).all())
+
+
+def test_ba_pcg_solver_matches_chol(rng):
+    prob, cam, *_ = _make_problem(rng, perturb=0.02)
+    res_c = bundle.bundle_adjust(prob, cam, max_iters=10, point_block=64)
+    res_p = bundle.bundle_adjust(
+        prob, cam, max_iters=10, point_block=64, solver="pcg",
+        cg_iters=300, cg_tol=1e-7,
+    )
+    rms_c = float(
+        bundle.reprojection_rms(prob, cam, res_c.cam_R, res_c.cam_t,
+                                res_c.points)
+    )
+    rms_p = float(
+        bundle.reprojection_rms(prob, cam, res_p.cam_R, res_p.cam_t,
+                                res_p.points)
+    )
+    assert rms_p < max(1.05 * rms_c, rms_c + 0.02), (rms_c, rms_p)
+    np.testing.assert_allclose(
+        np.asarray(res_c.cam_t), np.asarray(res_p.cam_t), atol=5e-3
+    )
+
+
+def _make_trajectory_problem(rng, n_cams=96, pts_per_cam=60, o_max=6,
+                             noise_px=0.3, perturb=0.01):
+    """A KITTI-like forward trajectory: each camera sees a sliding window
+    of points; covisibility is band-diagonal in keyframe index (the regime
+    the scatter/PCG path exists for)."""
+    cam = cam_ops.make_camera(CameraConfig().params(), 640, 480)
+    n_pts = n_cams * pts_per_cam
+    pts_true = np.zeros((n_pts, 3), np.float32)
+    poses = []
+    for i in range(n_cams):
+        mu = np.zeros(6, np.float32)
+        mu[:3] = (0.0, 0.0, -0.25 * i)  # forward motion
+        mu[4] = 0.002 * i               # slow yaw
+        poses.append(lie.se3_exp(jnp.asarray(mu)))
+        base = i * pts_per_cam
+        pts_true[base:base + pts_per_cam] = np.stack(
+            [
+                rng.uniform(-2.0, 2.0, pts_per_cam),
+                rng.uniform(-1.0, 1.0, pts_per_cam),
+                0.25 * i + rng.uniform(3.0, 8.0, pts_per_cam),
+            ],
+            axis=-1,
+        )
+
+    meas_kf = np.zeros((n_pts, o_max), np.int32)
+    meas_uv = np.zeros((n_pts, o_max, 2), np.float32)
+    meas_valid = np.zeros((n_pts, o_max), bool)
+    for n in range(n_pts):
+        owner = n // pts_per_cam
+        o = 0
+        for k in range(max(0, owner - o_max + 1), min(n_cams, owner + 2)):
+            if o >= o_max:
+                break
+            R, t = poses[k]
+            pc = np.asarray(R) @ pts_true[n] + np.asarray(t)
+            if pc[2] <= 0.5:
+                continue
+            px = np.asarray(cam_ops.project(cam, jnp.asarray(pc[:2] / pc[2])))
+            if not (5 <= px[0] < 635 and 5 <= px[1] < 475):
+                continue
+            meas_kf[n, o] = k
+            meas_uv[n, o] = px + rng.normal(scale=noise_px, size=2)
+            meas_valid[n, o] = True
+            o += 1
+
+    cam_R = np.stack([np.asarray(p[0]) for p in poses])
+    cam_t = np.stack([np.asarray(p[1]) for p in poses])
+    for k in range(1, n_cams):
+        dmu = rng.normal(scale=perturb, size=6).astype(np.float32)
+        dR, dt = lie.se3_exp(jnp.asarray(dmu))
+        R2, t2 = lie.se3_mul(dR, dt, jnp.asarray(cam_R[k]),
+                             jnp.asarray(cam_t[k]))
+        cam_R[k], cam_t[k] = np.asarray(R2), np.asarray(t2)
+    pts_init = pts_true + rng.normal(
+        scale=perturb, size=pts_true.shape
+    ).astype(np.float32)
+
+    cam_fixed = np.zeros(n_cams, bool)
+    cam_fixed[0] = True
+    prob = bundle.BAProblem(
+        cam_R=jnp.asarray(cam_R), cam_t=jnp.asarray(cam_t),
+        cam_fixed=jnp.asarray(cam_fixed),
+        cam_valid=jnp.ones(n_cams, bool),
+        points=jnp.asarray(pts_init),
+        point_valid=jnp.asarray(meas_valid.any(axis=1)),
+        meas_kf=jnp.asarray(meas_kf),
+        meas_uv=jnp.asarray(meas_uv),
+        meas_sqrt_inv_noise=jnp.ones((n_pts, o_max), jnp.float32),
+        meas_valid=jnp.asarray(meas_valid),
+    )
+    return prob, cam
+
+
+def test_ba_trajectory_scale_pcg(rng):
+    """Band-diagonal trajectory problem (96 KFs, ~5.7k points) through the
+    scatter+PCG path: the dense one-hot path would need an [N, O, K]
+    incidence and O(N·K²) contractions here."""
+    prob, cam = _make_trajectory_problem(rng)
+    rms0 = float(bundle.reprojection_rms(prob, cam))
+    res = bundle.bundle_adjust(
+        prob, cam, max_iters=6, point_block=512,
+        solver="pcg", cg_iters=200, cg_tol=1e-6,
+    )
+    rms1 = float(
+        bundle.reprojection_rms(prob, cam, res.cam_R, res.cam_t, res.points)
+    )
+    assert rms0 > 1.5, rms0
+    assert rms1 < 0.55, f"rms {rms0} -> {rms1}"

@@ -64,3 +64,37 @@ def test_pad_problem_preserves_solution(rng):
     assert not bool(jnp.any(padded.point_valid[prob.points.shape[0]:]))
     res = bundle.bundle_adjust(padded, cam, max_iters=8, point_block=64)
     assert int(res.accepted) >= 1
+
+
+def test_sharded_pcg_trajectory_scale(rng):
+    """KITTI-style band-diagonal problem (96 KFs) through the sharded
+    scatter+PCG path on the 8-device mesh: the matrix-free apply psums its
+    scatter side every CG iteration; result must match the single-device
+    PCG run."""
+    from tests.test_bundle import _make_trajectory_problem
+
+    prob, cam = _make_trajectory_problem(rng, n_cams=96, pts_per_cam=40)
+    res1 = bundle.bundle_adjust(
+        prob, cam, max_iters=5, point_block=512,
+        solver="pcg", cg_iters=200,
+    )
+    mesh = sharded_ba.make_mesh()
+    res8 = sharded_ba.sharded_bundle_adjust(
+        prob, cam, mesh, max_iters=5, point_block=128,
+        assembly="scatter", solver="pcg", cg_iters=200,
+    )
+    rms1 = float(
+        bundle.reprojection_rms(prob, cam, res1.cam_R, res1.cam_t,
+                                res1.points)
+    )
+    prob_pad = sharded_ba.pad_problem(prob, 8)
+    rms8 = float(
+        bundle.reprojection_rms(prob_pad, cam, res8.cam_R, res8.cam_t,
+                                res8.points)
+    )
+    assert rms8 < max(1.2 * rms1, 0.6), f"sharded pcg rms {rms8} vs {rms1}"
+    # Gauge is pinned at camera 0 only, so f32 reduction-order differences
+    # accumulate along the ~24 m chain: compare at trajectory scale.
+    traj_len = float(jnp.linalg.norm(res1.cam_t[-1] - res1.cam_t[0]))
+    diff = float(jnp.abs(res8.cam_t - res1.cam_t).max())
+    assert diff < 5e-3 * traj_len, (diff, traj_len)

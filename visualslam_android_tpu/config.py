@@ -130,6 +130,12 @@ class BundleConfig:
     # TPU capacities.
     max_obs_per_point: int = 16
     point_block: int = 1024        # points per Schur-assembly chunk
+    # Scale strategy: above this many camera slots, switch from one-hot
+    # Schur assembly + dense Cholesky to scatter assembly + matrix-free
+    # block-Jacobi PCG (KITTI-scale global BA; SURVEY.md §7).
+    dense_solver_max_cams: int = 64
+    cg_iters: int = 250
+    cg_tol: float = 1e-6
 
 
 @dataclasses.dataclass(frozen=True)

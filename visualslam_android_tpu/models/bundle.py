@@ -169,13 +169,127 @@ def _schur_blocks(C, Y, W, eps_b, block: int):
     return S_corr, E_corr
 
 
+def _e_corr_scatter(meas_kf, Y, eps_b, K):
+    """E_corr [K, 6] by scatter-add: Y is already zero for bad/fixed
+    measurements (the weights are folded into A/B), so garbage kf indices
+    on dead slots contribute zeros."""
+    e = jnp.einsum("noab,nb->noa", Y, eps_b)
+    return jnp.zeros((K, 6), Y.dtype).at[meas_kf.reshape(-1)].add(
+        e.reshape(-1, 6)
+    )
+
+
+def _schur_blocks_scatter(meas_kf, Y, W, eps_b, K, block: int):
+    """Schur correction assembled by per-point camera-PAIR blocks scattered
+    into S_corr [K, 6, K, 6] — the sparse-aware analog of the reference's
+    off-diagonal scripts (jni/Bundle.cc:400-426,580-607). Unlike the
+    one-hot path (O(N·O·K) memory, O(N·K²) FLOPs) this is O(N·O²) work:
+    the right shape once K grows past local-BA size (KITTI-scale global
+    BA, SURVEY.md §7 'sparse Schur structure at scale')."""
+    N, O = meas_kf.shape
+    n_blocks = -(-N // block)
+    pad = n_blocks * block - N
+
+    def pad0(x):
+        return jnp.pad(x, [(0, pad)] + [(0, 0)] * (x.ndim - 1))
+
+    kfp, Yp, Wp = pad0(meas_kf), pad0(Y), pad0(W)
+    E_corr = _e_corr_scatter(meas_kf, Y, eps_b, K)
+
+    def body(S_acc, idx):
+        sl = lambda x: lax.dynamic_slice_in_dim(x, idx * block, block)
+        kfb, Yb, Wb = sl(kfp), sl(Yp), sl(Wp)
+        # T[n, o, p] = Y[n, o] W[n, p]^T — all O x O camera pairs of each
+        # point in one batched contraction.
+        T = jnp.einsum("noab,npcb->nopac", Yb, Wb)  # [B, O, O, 6, 6]
+        ii = jnp.broadcast_to(kfb[:, :, None], T.shape[:3]).reshape(-1)
+        jj = jnp.broadcast_to(kfb[:, None, :], T.shape[:3]).reshape(-1)
+        return S_acc.at[ii, :, jj, :].add(T.reshape(-1, 6, 6)), None
+
+    S_corr, _ = lax.scan(
+        body, jnp.zeros((K, 6, K, 6), Y.dtype), jnp.arange(n_blocks)
+    )
+    return S_corr, E_corr
+
+
+def _pcg_camera_solve(U_star, free, meas_kf, W, Vinv, b, pa,
+                      cg_iters: int, cg_tol: float):
+    """Matrix-free block-Jacobi-preconditioned CG on the reduced camera
+    system S x = b, never forming S. One apply is two gathers/scatters and
+    three small batched contractions over the measurement table — O(N·O)
+    per iteration regardless of K, so global BA scales to KITTI-size maps
+    (500+ keyframes) where a dense [6K x 6K] assembly (the reference's
+    jni/Bundle.cc:353-437) is prohibitive. With a mesh axis, the scatter
+    side of the apply is psummed: each device holds a point shard, x is
+    replicated, and CG runs in lockstep on identical replicated state."""
+    dtype = b.dtype
+    K = U_star.shape[0]
+    eye6 = jnp.eye(6, dtype=dtype)
+    Y = jnp.einsum("noab,nbc->noac", W, Vinv)
+    Mblk = jnp.where(free[:, None, None], U_star + 1e-9 * eye6[None],
+                     eye6[None] * jnp.ones((K, 1, 1), dtype))
+    Minv = jnp.linalg.inv(Mblk)
+
+    kf_flat = meas_kf.reshape(-1)
+
+    def apply_S(x):
+        g = x[meas_kf]                                # [N, O, 6]
+        u = jnp.einsum("noab,noa->nb", W, g)          # [N, 3]
+        corr = jnp.einsum("noab,nb->noa", Y, u)       # [N, O, 6]
+        corr = pa(jnp.zeros_like(x).at[kf_flat].add(corr.reshape(-1, 6)))
+        out = jnp.einsum("kab,kb->ka", U_star, x) + 1e-9 * x - corr
+        return jnp.where(free[:, None], out, x)
+
+    def prec(r):
+        return jnp.einsum("kab,kb->ka", Minv, r)
+
+    b = jnp.where(free[:, None], b, 0.0)
+    b_sq = jnp.sum(b * b)
+
+    x0 = jnp.zeros_like(b)
+    r0 = b
+    z0 = prec(r0)
+    p0 = z0
+    rz0 = jnp.sum(r0 * z0)
+
+    def cond(s):
+        x, r, z, p, rz, i = s
+        return (i < cg_iters) & (jnp.sum(r * r) > cg_tol * cg_tol * b_sq)
+
+    def body(s):
+        x, r, z, p, rz, i = s
+        Ap = apply_S(p)
+        denom = jnp.sum(p * Ap)
+        alpha = rz / jnp.where(denom == 0.0, 1.0, denom)
+        alpha = jnp.where(denom == 0.0, 0.0, alpha)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = prec(r)
+        rz_new = jnp.sum(r * z)
+        beta = rz_new / jnp.where(rz == 0.0, 1.0, rz)
+        beta = jnp.where(rz == 0.0, 0.0, beta)
+        p = z + beta * p
+        return (x, r, z, p, rz_new, i + 1)
+
+    x, _, _, _, _, _ = lax.while_loop(
+        cond, body, (x0, r0, z0, p0, rz0, jnp.asarray(0, jnp.int32))
+    )
+    return x
+
+
 @functools.partial(
-    jax.jit, static_argnames=("max_iters", "point_block", "axis_name")
+    jax.jit,
+    static_argnames=(
+        "max_iters", "point_block", "axis_name",
+        "assembly", "solver", "cg_iters", "cg_tol",
+    ),
 )
 def bundle_adjust(
     prob: BAProblem, cam: cam_ops.Camera,
     max_iters: int = 20, point_block: int = 1024,
     axis_name=None,
+    assembly: str = "onehot", solver: str = "chol",
+    cg_iters: int = 250, cg_tol: float = 1e-6,
 ) -> BAResult:
     """Full Bundle::Compute (Bundle.cc:136-178) as a jitted fixed-shape
     program. max_iters bounds TOTAL inner iterations (the reference's
@@ -188,6 +302,14 @@ def bundle_adjust(
     over the axis, the replicated reduced system is solved identically on
     every device, and point back-substitution stays local — the
     TPU-native realization of SURVEY.md §2's "sharded global BA".
+
+    Scale knobs (SURVEY.md §7 "sparse Schur structure at scale"):
+    - assembly: "onehot" (dense MXU contractions per point block; right
+      for local-BA K) or "scatter" (per-point camera-pair blocks
+      scattered into S; O(N·O²) instead of O(N·K²), right for large K);
+    - solver: "chol" (dense Cholesky of the [6K, 6K] reduced system) or
+      "pcg" (matrix-free block-Jacobi CG; never forms S — the KITTI-scale
+      global-BA path, K in the hundreds).
     """
     dtype = prob.points.dtype
     N, O = prob.meas_kf.shape
@@ -261,11 +383,13 @@ def bundle_adjust(
         eps_b = jnp.einsum("nora,nor->na", B, eps)
         W = jnp.einsum("nora,norb->noab", A, B)  # [N, O, 6, 3]
 
-        # One-hot camera incidence for the Schur correction.
-        C = (
-            jax.nn.one_hot(prob.meas_kf, K, dtype=dtype)
-            * (good & ~cam_fixed_m).astype(dtype)[..., None]
-        )
+        # One-hot camera incidence for the Schur correction (only the
+        # dense-assembly path materializes it).
+        if solver != "pcg" and assembly == "onehot":
+            C = (
+                jax.nn.one_hot(prob.meas_kf, K, dtype=dtype)
+                * (good & ~cam_fixed_m).astype(dtype)[..., None]
+            )
 
         # ---- Inner lambda loop (Bundle.cc:327-514) ----
         class _I(NamedTuple):
@@ -293,34 +417,54 @@ def bundle_adjust(
             )
 
             Y = jnp.einsum("noab,nbc->noac", W, Vinv)  # [N, O, 6, 3]
-            S_corr, E_corr = _schur_blocks(C, Y, W, eps_b, point_block)
-            S_corr, E_corr = _pa(S_corr), _pa(E_corr)
 
-            # S diagonal: U with lambda-scaled diagonal; fixed/invalid
-            # cameras get identity blocks (they take no update).
+            # U with lambda-scaled diagonal; fixed/invalid cameras take no
+            # update.
             lam_eye = 1.0 + i.lam * jnp.eye(6, dtype=dtype)[None]
             U_star = U * lam_eye
-            S = -S_corr  # [K, 6, K, 6]
-            kk = jnp.arange(K)
-            S = S.at[kk, :, kk, :].add(U_star)
             free = prob.cam_valid & ~prob.cam_fixed
-            eyeK = jnp.eye(6, dtype=dtype)[None] * jnp.ones((K, 1, 1), dtype)
-            S = jnp.where(
-                free[:, None, None, None] & free[None, None, :, None],
-                S,
-                0.0,
-            )
-            S = S.at[kk, :, kk, :].add(
-                jnp.where(free[:, None, None], 0.0, eyeK)
-            )
-            E = jnp.where(free[:, None], eps_a - E_corr, 0.0)
 
-            Sm = S.reshape(K * 6, K * 6)
-            Sm = Sm + 1e-9 * jnp.eye(K * 6, dtype=dtype)
-            L, low = jax.scipy.linalg.cho_factor(Sm, lower=True)
-            cam_upd = jax.scipy.linalg.cho_solve(
-                (L, low), E.reshape(-1)
-            ).reshape(K, 6)
+            if solver == "pcg":
+                # KITTI-scale path: never form S.
+                E_corr = _pa(_e_corr_scatter(prob.meas_kf, Y, eps_b, K))
+                E = jnp.where(free[:, None], eps_a - E_corr, 0.0)
+                cam_upd = _pcg_camera_solve(
+                    U_star, free, prob.meas_kf, W, Vinv, E, _pa,
+                    cg_iters, cg_tol,
+                )
+            else:
+                if assembly == "scatter":
+                    S_corr, E_corr = _schur_blocks_scatter(
+                        prob.meas_kf, Y, W, eps_b, K, point_block
+                    )
+                else:
+                    S_corr, E_corr = _schur_blocks(
+                        C, Y, W, eps_b, point_block
+                    )
+                S_corr, E_corr = _pa(S_corr), _pa(E_corr)
+
+                S = -S_corr  # [K, 6, K, 6]
+                kk = jnp.arange(K)
+                S = S.at[kk, :, kk, :].add(U_star)
+                eyeK = jnp.eye(6, dtype=dtype)[None] * jnp.ones(
+                    (K, 1, 1), dtype
+                )
+                S = jnp.where(
+                    free[:, None, None, None] & free[None, None, :, None],
+                    S,
+                    0.0,
+                )
+                S = S.at[kk, :, kk, :].add(
+                    jnp.where(free[:, None, None], 0.0, eyeK)
+                )
+                E = jnp.where(free[:, None], eps_a - E_corr, 0.0)
+
+                Sm = S.reshape(K * 6, K * 6)
+                Sm = Sm + 1e-9 * jnp.eye(K * 6, dtype=dtype)
+                L, low = jax.scipy.linalg.cho_factor(Sm, lower=True)
+                cam_upd = jax.scipy.linalg.cho_solve(
+                    (L, low), E.reshape(-1)
+                ).reshape(K, 6)
 
             # Back-substitute points (Bundle.cc:440-462).
             dc = cam_upd[prob.meas_kf]  # [N, O, 6]

@@ -646,9 +646,15 @@ class SLAMSystem:
     def _run_ba(self, adjust_mask, max_iters) -> bool:
         cfg = self.config
         prob = mapmaker.build_ba_problem(self.slam_map, adjust_mask, cfg)
+        # Above dense_solver_max_cams camera slots, switch to the
+        # KITTI-scale path: scatter Schur assembly + matrix-free PCG.
+        large = prob.cam_R.shape[0] > cfg.bundle.dense_solver_max_cams
         res = bundle_mod.bundle_adjust(
             prob, self.cam, max_iters=max_iters,
             point_block=cfg.bundle.point_block,
+            assembly="scatter" if large else "onehot",
+            solver="pcg" if large else "chol",
+            cg_iters=cfg.bundle.cg_iters, cg_tol=cfg.bundle.cg_tol,
         )
         sm, retry, never, died = mapmaker.apply_ba_result(
             self.slam_map, prob, res, cfg

@@ -71,6 +71,8 @@ def pad_problem(prob: BAProblem, multiple: int) -> BAProblem:
 def sharded_bundle_adjust(
     prob: BAProblem, cam, mesh: Mesh,
     max_iters: int = 20, point_block: int = 1024,
+    assembly: str = "onehot", solver: str = "chol",
+    cg_iters: int = 250, cg_tol: float = 1e-6,
 ) -> BAResult:
     """Run bundle_adjust with points/measurements sharded over `mesh`.
 
@@ -101,6 +103,8 @@ def sharded_bundle_adjust(
         lambda p, c: bundle_adjust(
             p, c, max_iters=max_iters, point_block=point_block,
             axis_name=axis,
+            assembly=assembly, solver=solver,
+            cg_iters=cg_iters, cg_tol=cg_tol,
         ),
         mesh=mesh,
         in_specs=(in_specs, P()),
