@@ -187,13 +187,28 @@ def epipolar_search(
 ) -> EpipolarResult:
     """Batched epipolar point search: every valid candidate of src_kf at
     `level` against the corners of target_kf at the same level."""
+    kfs = slam_map.keyframes
+    dtype = kfs.t.dtype
+    cand_xy = kfs.cand_xy[level][src_kf].astype(dtype)  # [C, 2]
+    cand_ok = kfs.cand_valid[level][src_kf]
+    return epipolar_search_cands(
+        slam_map, src_kf, target_kf, cam, level, config, cand_xy, cand_ok
+    )
+
+
+def epipolar_search_cands(
+    slam_map: SLAMMap, src_kf, target_kf, cam, level: int,
+    config: SLAMConfig, cand_xy, cand_ok,
+) -> EpipolarResult:
+    """epipolar_search over an explicit candidate slab [C, 2]/[C] — the
+    entry point parallel/sharded_mapping.py shards over the candidate
+    axis (each device takes a candidate block against the replicated
+    target level)."""
     mc, pc_cfg = config.mapmaker, config.patch
     kfs = slam_map.keyframes
     dtype = kfs.t.dtype
     scale = level_scale(level)
 
-    cand_xy = kfs.cand_xy[level][src_kf].astype(dtype)  # [C, 2]
-    cand_ok = kfs.cand_valid[level][src_kf]
     C = cand_xy.shape[0]
     root = level_zero_pos(cand_xy, level)  # [C, 2] level-0
 

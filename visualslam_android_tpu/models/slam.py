@@ -44,6 +44,7 @@ from visualslam_android_tpu.models.map_store import (
 from visualslam_android_tpu.ops import camera as cam_ops
 from visualslam_android_tpu.ops import lie, match
 from visualslam_android_tpu.ops import sbi as sbi_ops
+from visualslam_android_tpu.utils import profiling
 
 # Bootstrap phases (TrackForInitialMap states, Tracker.cc:218-261).
 PHASE_NOT_STARTED = 0
@@ -78,6 +79,10 @@ class SLAMSystem:
             self.config.camera.params(), tc.width, tc.height
         )
         self.key = jax.random.PRNGKey(seed)
+        # Per-stage wall-clock profiling (off by default; run_slam
+        # --profile enables it). SURVEY.md §5: the reference has no
+        # tracing subsystem — this is the capability added in its place.
+        self.timer = profiling.StageTimer(enabled=False)
         self.reset()
 
     # ---- control -----------------------------------------------------
@@ -133,17 +138,21 @@ class SLAMSystem:
     def track_frame(self, img) -> FrameResult:
         """TrackFrame (Tracker.cc:76-146)."""
         cfg = self.config
-        img = jnp.asarray(img, jnp.float32)
-        frame = kf_mod.make_frame(img, cfg)
-        sbi_cur = sbi_ops.make_sbi(
-            frame.pyramid[-1], cfg.tracker.sbi_blur
-        )
+        with self.timer.stage("frontend"):
+            img = jnp.asarray(img, jnp.float32)
+            frame = kf_mod.make_frame(img, cfg)
+            sbi_cur = sbi_ops.make_sbi(
+                frame.pyramid[-1], cfg.tracker.sbi_blur
+            )
+            self.timer.sync(frame, sbi_cur)
         self.frame_idx += 1
         added_kf = False
         message = ""
 
         if self.phase == PHASE_TRACKING:
-            out, message, added_kf = self._track(frame, sbi_cur)
+            with self.timer.stage("track"):
+                out, message, added_kf = self._track(frame, sbi_cur)
+                self.timer.sync(self.R, self.t)
             quality = int(
                 tracker_mod.assess_tracking_quality(
                     out.attempted_per_level, out.found_per_level
@@ -153,9 +162,11 @@ class SLAMSystem:
             did_coarse = bool(out.did_coarse) if out is not None else False
             # One unit of mapping work per frame (the restored MapMaker
             # run() loop).
-            self._mapmaker_step()
+            with self.timer.stage("mapmaker"):
+                self._mapmaker_step()
         else:
-            self._bootstrap(frame, sbi_cur, img)
+            with self.timer.stage("bootstrap"):
+                self._bootstrap(frame, sbi_cur, img)
             quality = tracker_mod.QUALITY_GOOD
             n_found = int(self._trail_valid.sum()) if (
                 self._trail_valid is not None

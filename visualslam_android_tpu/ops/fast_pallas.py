@@ -157,7 +157,7 @@ def detect(img, threshold: int, arc_length: int = 10,
     mask, score = pl.pallas_call(
         kernel,
         grid=(n_strips,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=(
             pl.BlockSpec((STRIP, Wp), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),

@@ -37,7 +37,34 @@ def main(argv=None):
     p.add_argument("--save-map", default=None)
     p.add_argument("--json", action="store_true",
                    help="print one JSON line instead of a report")
+    p.add_argument("--profile", action="store_true",
+                   help="print a per-stage wall-clock timing table")
+    p.add_argument("--trace-dir", default=None,
+                   help="capture an XLA profiler trace into this dir")
+    p.add_argument("--preset", choices=["default", "small"],
+                   default="default",
+                   help="'small' shrinks map/corner capacities for quick "
+                        "runs (fast compiles, lower quality ceiling)")
+    p.add_argument("--platform", choices=["default", "cpu", "tpu"],
+                   default="default",
+                   help="force a JAX backend (overrides plugin platforms "
+                        "that ignore the JAX_PLATFORMS env var)")
     args = p.parse_args(argv)
+
+    # Persistent compilation cache: the jitted tracking/mapping programs
+    # dominate cold-start time; cached executables load in seconds.
+    import os
+
+    import jax
+
+    if args.platform != "default":
+        jax.config.update("jax_platforms", args.platform)
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                     ".jax_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from visualslam_android_tpu.config import (
         MapMakerConfig,
@@ -45,7 +72,12 @@ def main(argv=None):
         TrackerConfig,
     )
     from visualslam_android_tpu.models import slam
-    from visualslam_android_tpu.utils import ate, datasets, serialization
+    from visualslam_android_tpu.utils import (
+        ate,
+        datasets,
+        profiling,
+        serialization,
+    )
 
     rng = np.random.default_rng(args.seed)
     gt_centers = None
@@ -75,33 +107,51 @@ def main(argv=None):
         images = datasets.iter_images(seq)
         n_frames = len(seq)
 
-    config = SLAMConfig(
-        tracker=TrackerConfig(
-            width=size[0], height=size[1],
-            max_map_points=1024,
-            max_corners_per_level=(512, 256, 128, 64),
-            min_frames_between_kfs=6,
-        ),
-        mapmaker=MapMakerConfig(max_keyframes=16, max_epi_candidates=128),
-    )
+    if args.preset == "small":
+        config = SLAMConfig(
+            tracker=TrackerConfig(
+                width=size[0], height=size[1],
+                max_map_points=256,
+                max_corners_per_level=(256, 128, 64, 32),
+                max_trails=128,
+                min_frames_between_kfs=6,
+            ),
+            mapmaker=MapMakerConfig(max_keyframes=8,
+                                    max_epi_candidates=64),
+        )
+    else:
+        config = SLAMConfig(
+            tracker=TrackerConfig(
+                width=size[0], height=size[1],
+                max_map_points=1024,
+                max_corners_per_level=(512, 256, 128, 64),
+                min_frames_between_kfs=6,
+            ),
+            mapmaker=MapMakerConfig(max_keyframes=16,
+                                    max_epi_candidates=128),
+        )
     sys_ = slam.SLAMSystem(config, seed=args.seed)
+    sys_.timer.enabled = args.profile
 
     est, used_gt = [], []
     t0 = time.perf_counter()
-    for k, img in enumerate(images):
-        if k == args.init_frame or k == args.stereo_frame:
-            sys_.on_touch()
-        res = sys_.track_frame(img)
-        if not args.json:
-            print(
-                f"[{k:4d}] {res.message}"
-                + (f"  (lost)" if res.lost else "")
-            )
-        if res.phase == slam.PHASE_TRACKING and not res.lost:
-            est.append((res.pose_R, res.pose_t))
-            if gt_centers is not None:
-                used_gt.append(gt_centers[k])
+    with profiling.xla_trace(args.trace_dir):
+        for k, img in enumerate(images):
+            if k == args.init_frame or k == args.stereo_frame:
+                sys_.on_touch()
+            res = sys_.track_frame(img)
+            if not args.json:
+                print(
+                    f"[{k:4d}] {res.message}"
+                    + (f"  (lost)" if res.lost else "")
+                )
+            if res.phase == slam.PHASE_TRACKING and not res.lost:
+                est.append((res.pose_R, res.pose_t))
+                if gt_centers is not None:
+                    used_gt.append(gt_centers[k])
     wall = time.perf_counter() - t0
+    if args.profile:
+        print(sys_.timer.report())
 
     report = {
         "frames": n_frames,
