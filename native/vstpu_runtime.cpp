@@ -265,7 +265,9 @@ enum MapTask : int {
   TASK_REFIND_NEWLY = 2,    // :102-103
   TASK_BA_ALL = 3,          // :107-108
   TASK_REFIND_FAILURES = 4, // :112-113 (1-in-20 chance)
-  TASK_HANDLE_BAD = 5,      // :116
+  // NOTE HandleBadPoints (MapMaker.cc:116) is NOT a scheduled task: the
+  // reference runs it unconditionally on every pass of the run() loop, so
+  // the host runs it after every dispatched task instead.
   TASK_ADD_KEYFRAME = 6,    // :120-121
 };
 
@@ -342,16 +344,17 @@ VSTPU_API void vstpu_pipeline_destroy(void* handle) {
 // the caller-provided 1-in-20 draw (rand()%20==0 in the reference, :112).
 VSTPU_API int vstpu_scheduler_next(int queue_size, int recent_converged,
                                    int full_converged, int has_failure_queue,
-                                   int has_newly_made, int rand20,
-                                   int has_bad_points) {
-  if (queue_size == 0 && !recent_converged) return TASK_BA_RECENT;
-  if (queue_size == 0 && recent_converged && has_newly_made)
-    return TASK_REFIND_NEWLY;
-  if (queue_size == 0 && recent_converged && !full_converged)
-    return TASK_BA_ALL;
-  if (rand20 && has_failure_queue) return TASK_REFIND_FAILURES;
-  if (has_bad_points) return TASK_HANDLE_BAD;
+                                   int has_newly_made, int rand20) {
+  // One prioritized work unit per call. Every BA/refind rung requires an
+  // empty keyframe queue (MapMaker.cc:97,102,107,112), so a non-empty
+  // queue falls straight through to AddKeyFrameFromTopOfQueue (:120-121).
   if (queue_size > 0) return TASK_ADD_KEYFRAME;
+  if (!recent_converged) return TASK_BA_RECENT;
+  if (has_newly_made) return TASK_REFIND_NEWLY;
+  if (!full_converged) return TASK_BA_ALL;
+  // Reaching here implies recent && full converged, matching the
+  // reference's explicit condition on the failure-queue rung (:112).
+  if (rand20 && has_failure_queue) return TASK_REFIND_FAILURES;
   return TASK_NONE;
 }
 

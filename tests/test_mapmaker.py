@@ -185,3 +185,87 @@ def test_build_ba_problem_masks(two_kf_map):
     # Points without a KF1 observation are excluded.
     obs1 = map_store.point_observed_in(slam_map.meas, 1)
     assert bool(jnp.all(prob.point_valid == (obs1 & slam_map.points.live())))
+
+
+# ---------------------------------------------------------------------------
+# Measurement-table eviction (full [N, O] rows; VERDICT r1 item 6)
+# ---------------------------------------------------------------------------
+
+
+def _tiny_meas(N=4, O=3):
+    return map_store.MeasStore(
+        kf=jnp.zeros((N, O), jnp.int32),
+        uv=jnp.zeros((N, O, 2), jnp.float32),
+        level=jnp.zeros((N, O), jnp.int32),
+        source=jnp.zeros((N, O), jnp.int32),
+        subpix=jnp.zeros((N, O), bool),
+        valid=jnp.zeros((N, O), bool),
+    )
+
+
+def _fill(meas, n, entries):
+    """entries: list of (kf, source) filling point n's row in order."""
+    for o, (k, s) in enumerate(entries):
+        meas = meas._replace(
+            kf=meas.kf.at[n, o].set(k),
+            source=meas.source.at[n, o].set(s),
+            uv=meas.uv.at[n, o].set(jnp.asarray([10.0 * o, 1.0 * k])),
+            valid=meas.valid.at[n, o].set(True),
+        )
+    return meas
+
+
+def test_eviction_drops_oldest_refind_never_root():
+    meas = _tiny_meas()
+    # Point 0 full: ROOT, REFIND(old), REFIND(new).
+    meas = _fill(meas, 0, [
+        (0, map_store.SRC_ROOT),
+        (1, map_store.SRC_REFIND),
+        (2, map_store.SRC_REFIND),
+    ])
+    mask = jnp.asarray([True, False, False, False])
+    uv = jnp.broadcast_to(jnp.asarray([77.0, 88.0]), (4, 2))
+    out = mapmaker.add_measurements_batch(
+        meas, mask, 3, uv, 1, map_store.SRC_TRACKER, True
+    )
+    # ROOT (slot 0) untouched; the OLDEST refind (slot 1) was evicted.
+    assert int(out.source[0, 0]) == map_store.SRC_ROOT
+    assert int(out.kf[0, 1]) == 3
+    assert int(out.source[0, 1]) == map_store.SRC_TRACKER
+    assert np.allclose(np.asarray(out.uv[0, 1]), [77.0, 88.0])
+    # The newer refind (slot 2) survives.
+    assert int(out.source[0, 2]) == map_store.SRC_REFIND
+    assert int(out.kf[0, 2]) == 2
+    assert bool(jnp.all(out.valid[0]))
+
+
+def test_eviction_drops_incoming_when_lower_value():
+    meas = _tiny_meas()
+    # Full row of ROOT + TRAIL + EPIPOLAR: an incoming REFIND (lowest
+    # value) must be dropped, leaving the row unchanged.
+    meas = _fill(meas, 0, [
+        (0, map_store.SRC_ROOT),
+        (1, map_store.SRC_TRAIL),
+        (2, map_store.SRC_EPIPOLAR),
+    ])
+    mask = jnp.asarray([True, False, False, False])
+    uv = jnp.broadcast_to(jnp.asarray([5.0, 5.0]), (4, 2))
+    out = mapmaker.add_measurements_batch(
+        meas, mask, 3, uv, 0, map_store.SRC_REFIND, False
+    )
+    assert np.array_equal(np.asarray(out.source), np.asarray(meas.source))
+    assert np.array_equal(np.asarray(out.kf), np.asarray(meas.kf))
+
+
+def test_non_full_rows_use_free_slot():
+    meas = _tiny_meas()
+    meas = _fill(meas, 1, [(0, map_store.SRC_ROOT)])
+    mask = jnp.asarray([False, True, False, False])
+    uv = jnp.broadcast_to(jnp.asarray([3.0, 4.0]), (4, 2))
+    out = mapmaker.add_measurements_batch(
+        meas, mask, 2, uv, 1, map_store.SRC_EPIPOLAR, True
+    )
+    assert bool(out.valid[1, 1])
+    assert int(out.kf[1, 1]) == 2
+    assert int(out.source[1, 1]) == map_store.SRC_EPIPOLAR
+    assert not bool(jnp.any(out.valid[jnp.asarray([0, 2, 3])]))

@@ -98,13 +98,69 @@ def test_scheduler_matches_python_oracle():
     # of MapMaker.cc:80-123.
     import itertools
 
-    for qs, rc, fc, fq, nm, r20, bad in itertools.product(
-        [0, 1, 3], [0, 1], [0, 1], [0, 1], [0, 1], [0, 1], [0, 1]
+    for qs, rc, fc, fq, nm, r20 in itertools.product(
+        [0, 1, 3], [0, 1], [0, 1], [0, 1], [0, 1], [0, 1]
     ):
-        assert nr.scheduler_next(qs, rc, fc, fq, nm, r20, bad) == \
-            nr.scheduler_next_py(qs, rc, fc, fq, nm, r20, bad), (
-                qs, rc, fc, fq, nm, r20, bad
+        assert nr.scheduler_next(qs, rc, fc, fq, nm, r20) == \
+            nr.scheduler_next_py(qs, rc, fc, fq, nm, r20), (
+                qs, rc, fc, fq, nm, r20
             )
+
+
+def test_scheduler_reference_ladder():
+    # Spot-check the ladder against MapMaker.cc:80-123 semantics.
+    # queue > 0 always integrates the keyframe first (every other rung
+    # requires an empty queue).
+    assert nr.scheduler_next_py(2, 0, 0, 1, 1, 1) == nr.TASK_ADD_KEYFRAME
+    # queue empty: local BA until recent-converged.
+    assert nr.scheduler_next_py(0, 0, 1, 0, 0, 0) == nr.TASK_BA_RECENT
+    # recent converged + new points -> refind them.
+    assert nr.scheduler_next_py(0, 1, 0, 0, 1, 0) == nr.TASK_REFIND_NEWLY
+    # recent converged, nothing new, full not converged -> global BA.
+    assert nr.scheduler_next_py(0, 1, 0, 0, 0, 0) == nr.TASK_BA_ALL
+    # everything converged: 1-in-20 failure-queue retry.
+    assert nr.scheduler_next_py(0, 1, 1, 1, 0, 1) == nr.TASK_REFIND_FAILURES
+    assert nr.scheduler_next_py(0, 1, 1, 1, 0, 0) == nr.TASK_NONE
+    # failure retry requires recent && full converged (MapMaker.cc:112):
+    # with full unconverged the global BA rung wins even when rand20 fires.
+    assert nr.scheduler_next_py(0, 1, 0, 1, 0, 1) == nr.TASK_BA_ALL
+    assert nr.scheduler_next_py(0, 1, 1, 0, 0, 1) == nr.TASK_NONE
+
+
+def test_slam_consumes_scheduler():
+    """SLAMSystem._next_mapmaker_task must agree with the scheduler oracle
+    for every host-state combination (single source of truth)."""
+    from visualslam_android_tpu.config import (
+        MapMakerConfig, SLAMConfig, TrackerConfig,
+    )
+    from visualslam_android_tpu.models import slam as slam_mod
+
+    cfg = SLAMConfig(
+        tracker=TrackerConfig(width=64, height=48, max_map_points=16,
+                              max_corners_per_level=(32, 16, 8, 8),
+                              max_trails=8),
+        mapmaker=MapMakerConfig(max_keyframes=4, max_epi_candidates=8),
+    )
+    sys_ = slam_mod.SLAMSystem(cfg)
+    import itertools
+
+    for q, rc, fc, fail, new in itertools.product(
+        [0, 2], [False, True], [False, True], [False, True], [False, True]
+    ):
+        sys_.kf_queue = [None] * q
+        sys_.recent_converged = rc
+        sys_.full_converged = fc
+        sys_.failure_mask = sys_.failure_mask.at[0, 0].set(fail)
+        sys_.new_points = sys_.new_points.at[0].set(new)
+        # Pin the 1-in-20 draw both ways via a stub rng.
+        for r20 in (True, False):
+            class _R:
+                def integers(self, n):
+                    return 0 if r20 else 1
+            sys_._mm_rng = _R()
+            got = sys_._next_mapmaker_task()
+            want = nr.scheduler_next_py(q, rc, fc, fail, new, r20)
+            assert got == want, (q, rc, fc, fail, new, r20, got, want)
 
 
 def test_blob_roundtrip(tmp_path):

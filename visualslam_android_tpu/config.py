@@ -106,14 +106,20 @@ class PatchConfig:
 
     half_patch_size: int = 5       # PatchFinder 11x11 default, PatchFinder.h:48
     mini_half_patch: int = 4       # MiniPatch 9x9, MiniPatch.cc:86
-    mini_max_ssd: int = 9999       # MiniPatch.cc:88 default
     max_ssd_per_pixel: int = 500   # PatchFinder.cc:19-20 (maxSSD = 500*N^2)
     subpix_converged: float = 0.03  # PatchFinder.cc:272-285
-    subpix_max_iters: int = 10
-    warp_refresh_limit: float = 0.07  # template refresh, PatchFinder.cc:99
+    subpix_max_iters: int = 10     # MapMaker.cc:303,642 (refind uses 8, :1022)
     # Search-level selection: det in [0.25, 3) per level, PatchFinder.cc:56-63.
     warp_det_lo: float = 0.25
     warp_det_hi: float = 3.0
+    # NOTE deliberately absent knobs (present in the reference, no analog
+    # here): the template warp-change cache + refresh limit 0.07
+    # (PatchFinder.cc:92-106) — this build always regenerates warped
+    # templates, which is nearly free as one batched gather on TPU
+    # (ops/match.py "warped template" docs); and MiniPatch's default
+    # maxSSD 9999 (MiniPatch.cc:88) — the only MiniPatch consumer (trail
+    # tracking) overrides it to 100000 (Tracker.cc:226-227), exposed as
+    # TrackerConfig.trail_max_ssd.
 
 
 @dataclasses.dataclass(frozen=True)
@@ -126,7 +132,8 @@ class BundleConfig:
     lambda_init: float = 1e-4      # mdLambda initial (Bundle ctor)
     lambda_factor_init: float = 2.0  # mdLambdaFactor (Bundle ctor)
     lambda_good: float = 0.3       # accepted step: lambda *= 0.3 (Bundle.cc:609-617)
-    outlier_sigma_squared: float = 10.0  # ejection threshold on Tukey weight
+    # (No separate outlier threshold: a measurement is ejected exactly when
+    # its Tukey weight hits zero or z <= 0, matching Bundle.cc:516-531.)
     # TPU capacities.
     max_obs_per_point: int = 16
     point_block: int = 1024        # points per Schur-assembly chunk
@@ -145,7 +152,7 @@ class MapMakerConfig:
     wiggle_scale: float = 0.1      # mgvdWiggleScale, MapMaker.cc:57
     # MLESAC homography: 300 trials of 4-pt DLT, HomographyInit.cc:216-262.
     mlesac_trials: int = 300
-    mlesac_sigma: float = 5.0 / 4.685  # MLESAC inlier sigma on Sampson error
+    max_pixel_error: float = 5.0   # dMaxPixelError, MapMaker.cc:234
     homography_refine_iters: int = 5   # HomographyInit.cc:133-214
     # Candidate thinning: 10px exclusion, MapMaker.cc:393-422.
     thin_candidates_radius: int = 10

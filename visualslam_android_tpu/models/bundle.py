@@ -282,6 +282,8 @@ def _pcg_camera_solve(U_star, free, meas_kf, W, Vinv, b, pa,
     static_argnames=(
         "max_iters", "point_block", "axis_name",
         "assembly", "solver", "cg_iters", "cg_tol",
+        "update_conv", "min_sigma_sq", "lambda_init", "lambda_good",
+        "lambda_factor_init",
     ),
 )
 def bundle_adjust(
@@ -290,6 +292,9 @@ def bundle_adjust(
     axis_name=None,
     assembly: str = "onehot", solver: str = "chol",
     cg_iters: int = 250, cg_tol: float = 1e-6,
+    update_conv: float = 1e-6, min_sigma_sq: float = MIN_SIGMA_SQ,
+    lambda_init: float = 1e-4, lambda_good: float = 0.3,
+    lambda_factor_init: float = 2.0,
 ) -> BAResult:
     """Full Bundle::Compute (Bundle.cc:136-178) as a jitted fixed-shape
     program. max_iters bounds TOTAL inner iterations (the reference's
@@ -344,7 +349,7 @@ def bundle_adjust(
             err_sq_g = lax.all_gather(err_sq_g, axis_name).reshape(-1)
             ok_g = lax.all_gather(ok_g, axis_name).reshape(-1)
         sigma_sq = me.find_sigma_squared(err_sq_g, ok_g, me.TUKEY)
-        sigma_sq = jnp.maximum(sigma_sq, MIN_SIGMA_SQ)
+        sigma_sq = jnp.maximum(sigma_sq, min_sigma_sq)
         sqrt_w = me.square_root_weight(err_sq, sigma_sq, me.TUKEY)
         bad = s.meas_valid & (z_bad | (sqrt_w == 0.0))
         good = s.meas_valid & ~bad
@@ -476,7 +481,7 @@ def bundle_adjust(
             upd_sq = jnp.sum(cam_upd * cam_upd) + _pa(
                 jnp.sum(pt_upd * pt_upd)
             )
-            converged = upd_sq < 1e-6
+            converged = upd_sq < update_conv
 
             dR, dt = lie.se3_exp(cam_upd)
             R_new, t_new = lie.se3_mul(dR, dt, s.R, s.t)
@@ -533,8 +538,10 @@ def bundle_adjust(
 
         # Accept if improved (Bundle.cc:504-514).
         good_step = fin.new_error < current_error
-        lam = jnp.where(good_step, fin.lam * 0.3, fin.lam)
-        lam_factor = jnp.where(good_step, 2.0, fin.lam_factor)
+        lam = jnp.where(good_step, fin.lam * lambda_good, fin.lam)
+        lam_factor = jnp.where(
+            good_step, lambda_factor_init, fin.lam_factor
+        )
         R_out = jnp.where(good_step, fin.R_new, s.R)
         t_out = jnp.where(good_step, fin.t_new, s.t)
         pts_out = jnp.where(good_step, fin.pts_new, s.pts)
@@ -559,12 +566,12 @@ def bundle_adjust(
         R=prob.cam_R, t=prob.cam_t, pts=prob.points,
         meas_valid=meas_valid0,
         ejected=jnp.zeros((N, O), bool),
-        lam=jnp.asarray(1e-4, dtype),
-        lam_factor=jnp.asarray(2.0, dtype),
+        lam=jnp.asarray(lambda_init, dtype),
+        lam_factor=jnp.asarray(lambda_factor_init, dtype),
         counter=jnp.asarray(0, jnp.int32),
         accepted=jnp.asarray(0, jnp.int32),
         converged=jnp.asarray(False),
-        sigma_sq=jnp.asarray(MIN_SIGMA_SQ, dtype),
+        sigma_sq=jnp.asarray(min_sigma_sq, dtype),
     )
     fin = lax.while_loop(outer_cond, lm_step, init)
 

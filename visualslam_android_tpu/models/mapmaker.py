@@ -96,10 +96,11 @@ def need_new_keyframe(kfs, R, t, scene_depth_mean, wiggle_depth_norm,
     return d > max_kf_dist_mult * wiggle_depth_norm
 
 
-def dist_to_nearest_excessive(kfs, R, t, wiggle_scale):
-    """IsDistanceToNearestKeyFrameExcessive (MapMaker.cc:1098-1101)."""
+def dist_to_nearest_excessive(kfs, R, t, wiggle_scale, factor=10.0):
+    """IsDistanceToNearestKeyFrameExcessive (MapMaker.cc:1098-1101);
+    `factor` is MapMakerConfig.kf_distance_factor (the reference's 10x)."""
     _, d = closest_keyframe(kfs, R, t)
-    return d > wiggle_scale * 10.0
+    return d > wiggle_scale * factor
 
 
 # ---------------------------------------------------------------------------
@@ -107,13 +108,43 @@ def dist_to_nearest_excessive(kfs, R, t, wiggle_scale):
 # ---------------------------------------------------------------------------
 
 
+# Eviction value order for full measurement rows (higher = keep longer).
+# SRC_ROOT is never evicted (losing it kills the point's template source,
+# apply_ba_result semantics / MapMaker.cc:932-937); re-findable SRC_REFIND
+# goes first. The reference's per-KF std::map never drops observations
+# (jni/KeyFrame.h:86) — this policy is the fixed-capacity analog.
+_EVICT_VALUE = (1, 0, 9, 3, 2)  # index = SRC_* enum
+
+
 def add_measurements_batch(meas, point_mask, kf_idx, uv, level, source,
                            subpix):
     """Insert one measurement per selected point into that point's first
-    free observation slot. kf_idx/level may be scalars or [N]."""
+    free observation slot. kf_idx/level may be scalars or [N].
+
+    When a point's row is FULL, evict the lowest-value oldest slot
+    (value order ``_EVICT_VALUE``; slots fill in order, so the first
+    minimum is the oldest) — unless the incoming measurement's value is
+    lower than everything present, in which case the incoming one is
+    dropped instead. SRC_ROOT slots are never evicted."""
     N, O = meas.valid.shape
-    slot = jnp.argmin(meas.valid.astype(jnp.int32), axis=1)  # [N]
-    ok = point_mask & ~jnp.all(meas.valid, axis=1)
+    free_slot = jnp.argmin(meas.valid.astype(jnp.int32), axis=1)  # [N]
+    full = jnp.all(meas.valid, axis=1)
+
+    value_lut = jnp.asarray(_EVICT_VALUE, jnp.int32)
+    slot_value = jnp.where(
+        meas.valid & (meas.source != SRC_ROOT),
+        value_lut[jnp.clip(meas.source, 0, len(_EVICT_VALUE) - 1)],
+        jnp.iinfo(jnp.int32).max,
+    )  # [N, O]
+    evict_slot = jnp.argmin(slot_value, axis=1)  # first min = oldest
+    min_value = jnp.min(slot_value, axis=1)
+    incoming_value = value_lut[
+        jnp.clip(jnp.asarray(source), 0, len(_EVICT_VALUE) - 1)
+    ]
+    can_evict = full & (incoming_value >= min_value)
+
+    slot = jnp.where(full, evict_slot, free_slot)
+    ok = point_mask & (~full | can_evict)
     rows = jnp.arange(N)
 
     def upd(arr, val):
@@ -334,8 +365,9 @@ def epipolar_search_cands(
     # Subpixel refinement in the target (MapMaker.cc:636-646).
     sp = match.iterate_subpix(
         img_t, tmpl, best_zero,
-        jnp.full((C,), level, jnp.int32), ok, max_iters=10,
-        half_patch=hp,
+        jnp.full((C,), level, jnp.int32), ok,
+        max_iters=pc_cfg.subpix_max_iters, half_patch=hp,
+        conv_limit=pc_cfg.subpix_converged,
     )
     ok &= sp.converged
 
@@ -478,7 +510,8 @@ def refind_in_keyframe(
     motion_right = jnp.einsum("ij,nj->ni", R, pts.pixel_right_w)
     motion_down = jnp.einsum("ij,nj->ni", R, pts.pixel_down_w)
     warp_inv, search_level, warp_ok = match.calc_search_level_and_warp(
-        pc, motion_right, motion_down, derivs
+        pc, motion_right, motion_down, derivs,
+        det_lo=config.patch.warp_det_lo, det_hi=config.patch.warp_det_hi,
     )
     active_t = active & proj_ok & warp_ok
 
@@ -519,7 +552,8 @@ def refind_in_keyframe(
         sel = active_t & found & (search_level == lvl)
         res = match.iterate_subpix(
             kfs.pyramid[lvl][kf_idx], tmpl, pos_zero, search_level, sel,
-            max_iters=8, half_patch=hp,
+            max_iters=8,  # refind uses 8, not subpix_max_iters (:1022)
+            half_patch=hp, conv_limit=config.patch.subpix_converged,
         )
         # NB reference keeps the measurement even if subpix fails to
         # converge here (it doesn't check the return, MapMaker.cc:1028).

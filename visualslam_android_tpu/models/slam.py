@@ -28,6 +28,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from visualslam_android_tpu import native_runtime
 from visualslam_android_tpu.config import SLAMConfig
 from visualslam_android_tpu.models import bundle as bundle_mod
 from visualslam_android_tpu.models import homography
@@ -155,7 +156,8 @@ class SLAMSystem:
                 self.timer.sync(self.R, self.t)
             quality = int(
                 tracker_mod.assess_tracking_quality(
-                    out.attempted_per_level, out.found_per_level
+                    out.attempted_per_level, out.found_per_level,
+                    cfg.tracker.quality_good, cfg.tracker.quality_lost,
                 )
             ) if out is not None else tracker_mod.QUALITY_BAD
             n_found = int(out.found.sum()) if out is not None else 0
@@ -273,6 +275,7 @@ class SLAMSystem:
                 mapmaker.dist_to_nearest_excessive(
                     self.slam_map.keyframes, self.R, self.t,
                     cfg.mapmaker.wiggle_scale,
+                    cfg.mapmaker.kf_distance_factor,
                 )
             ):
                 quality = tracker_mod.QUALITY_BAD
@@ -410,7 +413,7 @@ class SLAMSystem:
         _, jac = cam_ops.project_derivs(self.cam, m_b)
         res = homography.compute(
             m_a, m_b, jac, valid, self._next_key(),
-            max_pixel_error=5.0, n_trials=mc.mlesac_trials,
+            max_pixel_error=mc.max_pixel_error, n_trials=mc.mlesac_trials,
             refine_iters=mc.homography_refine_iters,
         )
         if not bool(res.success):
@@ -441,8 +444,10 @@ class SLAMSystem:
         )
         sp = match.iterate_subpix(
             frame_second.pyramid[0], tmpl, b,
-            jnp.zeros(T, jnp.int32), valid & ~tmpl.bad, max_iters=10,
+            jnp.zeros(T, jnp.int32), valid & ~tmpl.bad,
+            max_iters=cfg.patch.subpix_max_iters,
             half_patch=cfg.patch.half_patch_size,
+            conv_limit=cfg.patch.subpix_converged,
         )
         ok = valid & ~tmpl.bad & sp.converged
         m_b2 = cam_ops.unproject(self.cam, sp.pos_zero)
@@ -516,19 +521,38 @@ class SLAMSystem:
 
     # ---- mapping stage (MapMaker::run priorities) --------------------
 
+    def _next_mapmaker_task(self) -> int:
+        """Ask the scheduler (native C++ when built, Python mirror
+        otherwise — both encode the MapMaker.cc:80-123 ladder) which ONE
+        unit of mapping work to dispatch next."""
+        sched = (
+            native_runtime.scheduler_next
+            if native_runtime.available()
+            else native_runtime.scheduler_next_py
+        )
+        return sched(
+            len(self.kf_queue),
+            self.recent_converged,
+            self.full_converged,
+            bool(jnp.any(self.failure_mask)),
+            bool(jnp.any(self.new_points)),
+            self._mm_rng.integers(20) == 0,
+        )
+
     def _mapmaker_step(self):
-        """One prioritized unit of mapping work (MapMaker.cc:80-123)."""
-        if self.kf_queue:
+        """One prioritized unit of mapping work (MapMaker.cc:80-123),
+        chosen by the scheduler; HandleBadPoints then runs unconditionally
+        as in every pass of the reference's run() loop (MapMaker.cc:116)."""
+        task = self._next_mapmaker_task()
+        if task == native_runtime.TASK_ADD_KEYFRAME:
             self._add_keyframe_from_queue()
-        elif not self.recent_converged:
+        elif task == native_runtime.TASK_BA_RECENT:
             self._run_local_ba()
-        elif bool(jnp.any(self.new_points)):
+        elif task == native_runtime.TASK_REFIND_NEWLY:
             self._refind_newly_made()
-        elif not self.full_converged:
+        elif task == native_runtime.TASK_BA_ALL:
             self._run_global_ba(max_iters=6)
-        elif self._mm_rng.integers(20) == 0 and bool(
-            jnp.any(self.failure_mask)
-        ):
+        elif task == native_runtime.TASK_REFIND_FAILURES:
             self._refind_from_failure_queue()
         self._handle_bad_points()
 
@@ -660,12 +684,17 @@ class SLAMSystem:
         # Above dense_solver_max_cams camera slots, switch to the
         # KITTI-scale path: scatter Schur assembly + matrix-free PCG.
         large = prob.cam_R.shape[0] > cfg.bundle.dense_solver_max_cams
+        bc = cfg.bundle
         res = bundle_mod.bundle_adjust(
             prob, self.cam, max_iters=max_iters,
-            point_block=cfg.bundle.point_block,
+            point_block=bc.point_block,
             assembly="scatter" if large else "onehot",
             solver="pcg" if large else "chol",
-            cg_iters=cfg.bundle.cg_iters, cg_tol=cfg.bundle.cg_tol,
+            cg_iters=bc.cg_iters, cg_tol=bc.cg_tol,
+            update_conv=bc.update_convergence,
+            min_sigma_sq=bc.min_tukey_sigma ** 2,
+            lambda_init=bc.lambda_init, lambda_good=bc.lambda_good,
+            lambda_factor_init=bc.lambda_factor_init,
         )
         sm, retry, never, died = mapmaker.apply_ba_result(
             self.slam_map, prob, res, cfg

@@ -144,6 +144,7 @@ def _make_all_templates(slam_map: SLAMMap, warp_inv, search_level, half_patch):
 def _search_multi_level(
     frame: FrameData, templates, pred_zero, search_level, active,
     radius_zero, max_range: int, subpix_mask, subpix_iters: int,
+    subpix_conv: float = 0.03,
 ):
     """Coarse ZMSSD + optional subpixel over all four search levels in one
     fused pass each. radius_zero [N] is the per-point level-0 radius
@@ -160,7 +161,7 @@ def _search_multi_level(
         sel = active & found & subpix_mask
         sres = match.iterate_subpix_multilevel(
             frame.pyramid, templates, pos_zero, search_level, sel,
-            max_iters=subpix_iters,
+            max_iters=subpix_iters, conv_limit=subpix_conv,
         )
         # Subpix failure voids the measurement (Tracker.cc:661-666).
         attempted_subpix = found & subpix_mask
@@ -179,9 +180,10 @@ def _search_multi_level(
 
 
 def _calc_pose_update(err, jac, sqrt_inv_noise, found, override_sigma,
-                      mark_outliers=False):
+                      prior=100.0):
     """err [N, 2] = v2Found - v2Image; jac [N, 2, 6]; returns (update[6],
-    weights[N]). Tukey with MAD sigma unless override_sigma > 0."""
+    weights[N]). Tukey with MAD sigma unless override_sigma > 0. `prior`
+    is TrackerConfig.pose_prior (WLS diagonal prior, Tracker.cc:736)."""
     dtype = err.dtype
     e_scaled = err * sqrt_inv_noise[:, None]
     err_sq = jnp.sum(e_scaled * e_scaled, axis=-1)
@@ -192,7 +194,7 @@ def _calc_pose_update(err, jac, sqrt_inv_noise, found, override_sigma,
     Js = jac * sqrt_inv_noise[:, None, None]  # [N, 2, 6]
     A = jnp.einsum("nri,nrj,n->ij", Js, Js, w)
     b = jnp.einsum("nri,nr,n->i", Js, e_scaled, w)
-    A = A + 100.0 * jnp.eye(6, dtype=dtype)  # prior (Tracker.cc:736)
+    A = A + prior * jnp.eye(6, dtype=dtype)  # prior (Tracker.cc:736)
     update = jnp.linalg.solve(A, b)
     n_found = jnp.sum(found)
     update = jnp.where(n_found > 0, update, jnp.zeros_like(update))
@@ -228,7 +230,8 @@ def track_map(
     motion_right = jnp.einsum("ij,nj->ni", R, pts.pixel_right_w)
     motion_down = jnp.einsum("ij,nj->ni", R, pts.pixel_down_w)
     warp_inv, search_level, warp_ok = match.calc_search_level_and_warp(
-        pc, motion_right, motion_down, derivs
+        pc, motion_right, motion_down, derivs,
+        det_lo=config.patch.warp_det_lo, det_hi=config.patch.warp_det_hi,
     )
     pvs = live & proj_ok & warp_ok
     sqrt_inv_noise = 1.0 / (2.0 ** search_level.astype(dtype))
@@ -270,6 +273,7 @@ def track_map(
         frame, c_templates, take(px), take(search_level), c_active,
         jnp.full((C,), float(coarse_range), dtype),
         coarse_range, jnp.ones(C, bool), tc.coarse_sub_pix_its,
+        subpix_conv=config.patch.subpix_converged,
     )
     c_found = jnp.zeros(N, bool).at[top_idx].set(cc_found) & coarse_sel
     c_pos = px.at[top_idx].set(cc_pos)
@@ -287,7 +291,8 @@ def track_map(
         err = c_pos - px_i
         override = jnp.where(i > 5, jnp.asarray(1.0, dtype), 0.0)
         upd, _ = _calc_pose_update(
-            err, jac, sqrt_inv_noise, c_found & did_coarse, override
+            err, jac, sqrt_inv_noise, c_found & did_coarse, override,
+            prior=tc.pose_prior,
         )
         dR, dt = lie.se3_exp(upd)
         return lie.se3_mul(dR, dt, Rc, tcur)
@@ -321,7 +326,8 @@ def track_map(
     f_found, f_pos, f_subpix = _search_multi_level(
         frame, templates, px2, search_level, f_active,
         jnp.where(f_active, fine_range, 0.0),
-        tc.fine_range_top, subpix_mask, 8,
+        tc.fine_range_top, subpix_mask, 8,  # 8 its (Tracker.cc:505)
+        subpix_conv=config.patch.subpix_converged,
     )
 
     # ---- Combined iteration set ----
@@ -352,7 +358,8 @@ def track_map(
         override = 16.0 if it > 5 else 0.0
         mark = it == tc.pose_update_iters - 1
         upd, w = _calc_pose_update(
-            err, jac, sqrt_inv_noise, found, jnp.asarray(override, dtype)
+            err, jac, sqrt_inv_noise, found, jnp.asarray(override, dtype),
+            prior=tc.pose_prior,
         )
         if mark:
             outlier_inc = jnp.where(found & (w == 0.0), 1, 0)

@@ -38,13 +38,14 @@ class NativeRuntimeUnavailable(RuntimeError):
 
 
 # MapTask ids (native/vstpu_runtime.cpp MapTask enum, mirroring the
-# priority ladder of jni/MapMaker.cc:80-123).
+# priority ladder of jni/MapMaker.cc:80-123). HandleBadPoints is NOT a
+# task: the reference runs it unconditionally every run()-loop pass
+# (MapMaker.cc:116), so the host runs it after every dispatched task.
 TASK_NONE = 0
 TASK_BA_RECENT = 1
 TASK_REFIND_NEWLY = 2
 TASK_BA_ALL = 3
 TASK_REFIND_FAILURES = 4
-TASK_HANDLE_BAD = 5
 TASK_ADD_KEYFRAME = 6
 
 
@@ -93,7 +94,7 @@ def load() -> ctypes.CDLL:
         lib.vstpu_pipeline_next.restype = ctypes.c_int64
         lib.vstpu_pipeline_destroy.argtypes = [ctypes.c_void_p]
         lib.vstpu_pipeline_destroy.restype = None
-        lib.vstpu_scheduler_next.argtypes = [ctypes.c_int] * 7
+        lib.vstpu_scheduler_next.argtypes = [ctypes.c_int] * 6
         lib.vstpu_scheduler_next.restype = ctypes.c_int
         lib.vstpu_blob_write.argtypes = [
             ctypes.c_char_p, ctypes.POINTER(ctypes.c_char_p),
@@ -194,34 +195,36 @@ class FramePipeline:
 
 def scheduler_next(queue_size: int, recent_converged: bool,
                    full_converged: bool, has_failure_queue: bool,
-                   has_newly_made: bool, rand20: bool,
-                   has_bad_points: bool) -> int:
-    """MapMaker::run() priority decision (jni/MapMaker.cc:80-123)."""
+                   has_newly_made: bool, rand20: bool) -> int:
+    """MapMaker::run() priority decision (jni/MapMaker.cc:80-123): the
+    next ONE work unit to dispatch. SLAMSystem._mapmaker_step is the
+    single consumer; scheduler_next_py is the fallback/oracle."""
     lib = load()
     return lib.vstpu_scheduler_next(
         int(queue_size), int(recent_converged), int(full_converged),
         int(has_failure_queue), int(has_newly_made), int(rand20),
-        int(has_bad_points),
     )
 
 
 def scheduler_next_py(queue_size: int, recent_converged: bool,
                       full_converged: bool, has_failure_queue: bool,
-                      has_newly_made: bool, rand20: bool,
-                      has_bad_points: bool) -> int:
-    """Pure-Python mirror of :func:`scheduler_next` (fallback + oracle)."""
-    if queue_size == 0 and not recent_converged:
+                      has_newly_made: bool, rand20: bool) -> int:
+    """Pure-Python mirror of :func:`scheduler_next` (fallback + oracle).
+
+    Every BA/refind rung requires an empty queue (MapMaker.cc:97,102,
+    107,112), so a non-empty queue goes straight to keyframe integration
+    (:120-121); the failure-queue rung is reached only when recent && full
+    converged, matching :112."""
+    if queue_size > 0:
+        return TASK_ADD_KEYFRAME
+    if not recent_converged:
         return TASK_BA_RECENT
-    if queue_size == 0 and recent_converged and has_newly_made:
+    if has_newly_made:
         return TASK_REFIND_NEWLY
-    if queue_size == 0 and recent_converged and not full_converged:
+    if not full_converged:
         return TASK_BA_ALL
     if rand20 and has_failure_queue:
         return TASK_REFIND_FAILURES
-    if has_bad_points:
-        return TASK_HANDLE_BAD
-    if queue_size > 0:
-        return TASK_ADD_KEYFRAME
     return TASK_NONE
 
 

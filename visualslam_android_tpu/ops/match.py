@@ -60,7 +60,8 @@ N_LEVELS = 4
 
 
 def calc_search_level_and_warp(
-    pc, motion_right, motion_down, cam_derivs, n_levels=N_LEVELS
+    pc, motion_right, motion_down, cam_derivs, n_levels=N_LEVELS,
+    det_lo=0.25, det_hi=3.0,
 ):
     """Batched CalcSearchLevelAndWarpMatrix (PatchFinder.cc:31-68).
 
@@ -92,14 +93,15 @@ def calc_search_level_and_warp(
         warp_inv[..., 0, 0] * warp_inv[..., 1, 1]
         - warp_inv[..., 0, 1] * warp_inv[..., 1, 0]
     )
-    # Search level: smallest l with det * 0.25^l <= 3 (PatchFinder.cc:56-60).
+    # Search level: smallest l with det * 0.25^l <= det_hi
+    # (PatchFinder.cc:56-60; det_lo/det_hi = PatchConfig.warp_det_lo/hi).
     lv = jnp.zeros(det.shape, jnp.int32)
     d = det
     for _ in range(n_levels - 1):
-        step = d > 3.0
+        step = d > det_hi
         lv = lv + step.astype(jnp.int32)
         d = jnp.where(step, d * 0.25, d)
-    good = (d <= 3.0) & (d >= 0.25)
+    good = (d <= det_hi) & (d >= det_lo)
     return warp_inv, lv, good
 
 

@@ -73,6 +73,7 @@ def sharded_bundle_adjust(
     max_iters: int = 20, point_block: int = 1024,
     assembly: str = "onehot", solver: str = "chol",
     cg_iters: int = 250, cg_tol: float = 1e-6,
+    **ba_kwargs,
 ) -> BAResult:
     """Run bundle_adjust with points/measurements sharded over `mesh`.
 
@@ -104,7 +105,7 @@ def sharded_bundle_adjust(
             p, c, max_iters=max_iters, point_block=point_block,
             axis_name=axis,
             assembly=assembly, solver=solver,
-            cg_iters=cg_iters, cg_tol=cg_tol,
+            cg_iters=cg_iters, cg_tol=cg_tol, **ba_kwargs,
         ),
         mesh=mesh,
         in_specs=(in_specs, P()),

@@ -43,6 +43,40 @@ def save_map(path, slam_map: map_store.SLAMMap, config: SLAMConfig):
         np.savez_compressed(f, **arrays)
 
 
+def export_map_text(out_dir, slam_map: map_store.SLAMMap):
+    """Reference-style text export (GUICommandHandler("SaveMap"),
+    jni/MapMaker.cc:1254-1286): ``map.dump`` with one line per live map
+    point (world position then source level), and ``keyframes/<i>.info``
+    with each valid keyframe's 3x4 [R|t] pose (se3CfromW). Debug/interop
+    format only — :func:`save_map` is the real checkpoint."""
+    import os
+
+    os.makedirs(os.path.join(out_dir, "keyframes"), exist_ok=True)
+    pts = slam_map.points
+    valid = np.asarray(pts.live())
+    pos = np.asarray(pts.pos_w)
+    lvl = np.asarray(pts.source_level)
+    with open(os.path.join(out_dir, "map.dump"), "w") as f:
+        for i in np.nonzero(valid)[0]:
+            f.write(
+                f"{pos[i, 0]:.9g} {pos[i, 1]:.9g} {pos[i, 2]:.9g}  "
+                f"{int(lvl[i])}\n"
+            )
+    kfs = slam_map.keyframes
+    kf_valid = np.asarray(kfs.valid)
+    R = np.asarray(kfs.R)
+    t = np.asarray(kfs.t)
+    for i in np.nonzero(kf_valid)[0]:
+        with open(
+            os.path.join(out_dir, "keyframes", f"{i}.info"), "w"
+        ) as f:
+            for r in range(3):
+                f.write(
+                    f"{R[i, r, 0]:.9g} {R[i, r, 1]:.9g} "
+                    f"{R[i, r, 2]:.9g} {t[i, r]:.9g}\n"
+                )
+
+
 def load_map(path):
     """Returns (slam_map, config)."""
     data = np.load(path)
