@@ -1,0 +1,87 @@
+"""KITTI-scale global bundle adjustment (BASELINE config 4; VERDICT r1
+item 1b): 512 keyframes / 30k points / band-diagonal observations through
+the full build_ba_problem -> scatter/PCG path. The reference's dense
+mS.inverse()*vE (jni/Bundle.cc:437) is a [3072 x 3072] dense inverse per
+inner iteration at this size; the matrix-free path never forms S."""
+
+import resource
+import time
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from visualslam_android_tpu.models import bundle, mapmaker
+from visualslam_android_tpu.utils import fixtures
+
+
+@pytest.fixture(scope="module")
+def big_problem():
+    rng = np.random.default_rng(5)
+    config, sm, cam, adjust = fixtures.build_band_ba_map(
+        rng, n_kf=512, n_pts=30000, obs_per_pt=4,
+        pose_perturb=0.02, point_perturb=0.03,
+    )
+    prob = mapmaker.build_ba_problem(sm, adjust, config)
+    return config, prob, cam
+
+
+def test_problem_is_kitti_scale(big_problem):
+    config, prob, cam = big_problem
+    assert prob.cam_R.shape[0] == 512
+    assert prob.points.shape[0] == 30000
+    n_meas = int(jnp.sum(prob.meas_valid))
+    assert n_meas > 80000, f"only {n_meas} measurements"
+    # Well past the dense-solver cutover: SLAMSystem would route this to
+    # scatter/PCG (models/slam.py _run_ba).
+    assert prob.cam_R.shape[0] > config.bundle.dense_solver_max_cams
+
+
+def test_512kf_global_ba_reduces_error(big_problem):
+    config, prob, cam = big_problem
+    rms0 = float(bundle.reprojection_rms(prob, cam))
+    t0 = time.perf_counter()
+    res = bundle.bundle_adjust(
+        prob, cam, max_iters=4, solver="pcg", cg_iters=200, cg_tol=1e-6,
+    )
+    rms1 = float(
+        bundle.reprojection_rms(prob, cam, res.cam_R, res.cam_t, res.points)
+    )
+    wall = time.perf_counter() - t0
+    peak_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024
+    print(
+        f"\n512-KF BA: rms {rms0:.3f} -> {rms1:.3f} px in {wall:.1f}s, "
+        f"accepted={int(res.accepted)}, peak RSS {peak_mb:.0f} MB"
+    )
+    assert rms0 > 1.0, f"perturbation invisible (rms0={rms0})"
+    assert rms1 < 0.45, f"rms {rms0} -> {rms1}"
+    assert int(res.accepted) >= 1
+    assert np.all(np.isfinite(np.asarray(res.cam_t)))
+    # Fixed camera 0 untouched.
+    np.testing.assert_array_equal(
+        np.asarray(res.cam_R[0]), np.asarray(prob.cam_R[0])
+    )
+
+
+def test_512kf_pcg_matches_dense_on_subblock():
+    """Numerical cross-check at a size the dense path can still handle:
+    the PCG camera solve agrees with the Cholesky solve on the same
+    problem (96 KFs)."""
+    rng = np.random.default_rng(6)
+    config, sm, cam, adjust = fixtures.build_band_ba_map(
+        rng, n_kf=96, n_pts=4000, obs_per_pt=4,
+        pose_perturb=0.015, point_perturb=0.02,
+    )
+    prob = mapmaker.build_ba_problem(sm, adjust, config)
+    res_pcg = bundle.bundle_adjust(
+        prob, cam, max_iters=3, solver="pcg", cg_iters=400, cg_tol=1e-9,
+    )
+    res_chol = bundle.bundle_adjust(
+        prob, cam, max_iters=3, solver="chol", assembly="scatter",
+        point_block=1024,
+    )
+    rms_pcg = float(bundle.reprojection_rms(
+        prob, cam, res_pcg.cam_R, res_pcg.cam_t, res_pcg.points))
+    rms_chol = float(bundle.reprojection_rms(
+        prob, cam, res_chol.cam_R, res_chol.cam_t, res_chol.points))
+    assert abs(rms_pcg - rms_chol) < 0.05, (rms_pcg, rms_chol)

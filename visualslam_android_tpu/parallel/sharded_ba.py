@@ -68,6 +68,43 @@ def pad_problem(prob: BAProblem, multiple: int) -> BAProblem:
     )
 
 
+def comm_bytes_per_lm_step(K, N_global, O, solver="pcg", cg_iters=250,
+                           inner_iters=1, dtype_bytes=4):
+    """Logical all-reduce/all-gather payload per LM outer step of
+    `bundle_adjust(axis_name=...)` — the communication the sharding
+    design puts on ICI, itemized so strong-scaling projections can be made
+    without multi-host hardware (BASELINE 'BA scaling efficiency').
+
+    Returned sizes are PAYLOAD bytes per step (what every device must end
+    up holding); a ring all-reduce moves ~2*(D-1)/D of the payload per
+    device, an all-gather (D-1)/D — multiply by those factors for
+    on-the-wire bytes at mesh size D.
+
+    Breakdown (models/bundle.py):
+    - sigma_gather: all_gather of the global error table for the MAD
+      sigma (err_sq f32 + ok bool per measurement);
+    - u_eps: psum of the camera accumulators U [K,6,6] + eps_a [K,6];
+    - solve: solver='pcg' -> E_corr [K,6] psum + one [K,6] psum per CG
+      iteration per inner lambda iteration; solver='chol'/'scatter' ->
+      S_corr [K,6,K,6] + E_corr [K,6] psums per inner iteration;
+    - scalars: objective/update-norm psums (negligible, counted anyway).
+    """
+    b = {}
+    b["sigma_gather"] = N_global * O * (dtype_bytes + 1)
+    b["u_eps"] = K * 36 * dtype_bytes + K * 6 * dtype_bytes
+    if solver == "pcg":
+        b["solve"] = inner_iters * (
+            K * 6 * dtype_bytes * (1 + cg_iters)
+        )
+    else:
+        b["solve"] = inner_iters * (
+            K * 6 * K * 6 * dtype_bytes + K * 6 * dtype_bytes
+        )
+    b["scalars"] = (3 + inner_iters) * dtype_bytes
+    b["total"] = sum(b.values())
+    return b
+
+
 def sharded_bundle_adjust(
     prob: BAProblem, cam, mesh: Mesh,
     max_iters: int = 20, point_block: int = 1024,

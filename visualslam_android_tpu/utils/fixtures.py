@@ -39,6 +39,115 @@ def full_config() -> SLAMConfig:
     )
 
 
+def build_band_ba_map(rng, n_kf=512, n_pts=30000, obs_per_pt=4,
+                      width=64, height=48, noise_px=0.3,
+                      pose_perturb=0.004, point_perturb=0.01):
+    """KITTI-scale band-diagonal bundle problem as a full SLAMMap: n_kf
+    keyframes along a straight trajectory, each point observed by the
+    obs_per_pt nearest cameras (consecutive, so the reduced camera system
+    is band-sparse exactly like an odometry run). Ground-truth geometry
+    with pixel noise, pose/point perturbations on everything but KF 0.
+
+    Returns (config, slam_map, cam, adjust_mask). Feeding it through
+    build_ba_problem -> bundle_adjust(scatter/PCG) is BASELINE config 4
+    (the scale the reference's dense mS.inverse()*vE solve,
+    jni/Bundle.cc:437, cannot reach).
+    """
+    import dataclasses as _dc
+
+    import jax
+
+    from visualslam_android_tpu.config import BundleConfig
+    from visualslam_android_tpu.ops import lie
+
+    config = SLAMConfig(
+        tracker=TrackerConfig(
+            width=width, height=height,
+            max_map_points=n_pts,
+            max_corners_per_level=(64, 32, 16, 8),
+        ),
+        mapmaker=MapMakerConfig(max_keyframes=n_kf),
+        bundle=BundleConfig(max_obs_per_point=obs_per_pt),
+    )
+    cam = cam_ops.make_camera(config.camera.params(), width, height)
+
+    spacing = 0.1
+    cam_x = spacing * np.arange(n_kf)
+    # Points spread along the trajectory at depth ~4-6, laterally within
+    # the (narrow) frustum.
+    pts = np.stack(
+        [
+            rng.uniform(-0.5, cam_x[-1] + 0.5, n_pts),
+            rng.uniform(-1.2, 1.2, n_pts),
+            rng.uniform(3.6, 6.0, n_pts),
+        ],
+        axis=-1,
+    ).astype(np.float32)
+
+    # Band observations: each point sees the obs_per_pt cameras nearest
+    # its x coordinate (all cameras share R = I, t = -center).
+    k0 = np.clip(
+        np.round(pts[:, 0] / spacing).astype(int) - obs_per_pt // 2,
+        0, n_kf - obs_per_pt,
+    )
+    kf_idx = k0[:, None] + np.arange(obs_per_pt)[None, :]  # [N, O]
+    centers = np.stack(
+        [cam_x, np.zeros(n_kf), np.zeros(n_kf)], -1
+    ).astype(np.float32)
+    pc = pts[:, None, :] - centers[kf_idx]  # [N, O, 3] (R = I)
+    import jax.numpy as _jnp
+
+    m = pc[..., :2] / pc[..., 2:]
+    px = np.asarray(cam_ops.project(cam, _jnp.asarray(
+        m.reshape(-1, 2), _jnp.float32
+    ))).reshape(n_pts, obs_per_pt, 2)
+    in_img = (
+        (px[..., 0] >= 1) & (px[..., 0] < width - 1)
+        & (px[..., 1] >= 1) & (px[..., 1] < height - 1)
+    )
+    px = px + rng.normal(scale=noise_px, size=px.shape).astype(np.float32)
+
+    sm = map_store.empty_map(config)
+    kfs = sm.keyframes
+    t_true = -centers  # R = I
+    dmu = rng.normal(scale=pose_perturb, size=(n_kf, 6)).astype(np.float32)
+    dmu[0] = 0.0
+    dR, dt = lie.se3_exp(_jnp.asarray(dmu))
+    R_init, t_init = lie.se3_mul(
+        dR, dt,
+        _jnp.broadcast_to(_jnp.eye(3, dtype=_jnp.float32), (n_kf, 3, 3)),
+        _jnp.asarray(t_true),
+    )
+    kfs = kfs._replace(
+        valid=_jnp.ones(n_kf, bool),
+        fixed=_jnp.zeros(n_kf, bool).at[0].set(True),
+        R=R_init, t=t_init,
+        depth_mean=_jnp.full((n_kf,), 4.5, _jnp.float32),
+        depth_sigma=_jnp.full((n_kf,), 0.8, _jnp.float32),
+    )
+    pts_init = pts + rng.normal(
+        scale=point_perturb, size=pts.shape
+    ).astype(np.float32)
+    points = sm.points._replace(
+        valid=_jnp.ones(n_pts, bool),
+        pos_w=_jnp.asarray(pts_init),
+        source_kf=_jnp.asarray(kf_idx[:, 0], _jnp.int32),
+    )
+    meas = sm.meas._replace(
+        kf=_jnp.asarray(kf_idx, _jnp.int32),
+        uv=_jnp.asarray(px),
+        level=_jnp.zeros((n_pts, obs_per_pt), _jnp.int32),
+        source=_jnp.full(
+            (n_pts, obs_per_pt), map_store.SRC_EPIPOLAR, _jnp.int32
+        ).at[:, 0].set(map_store.SRC_ROOT),
+        valid=_jnp.asarray(in_img),
+    )
+    sm = sm._replace(keyframes=kfs, points=points, meas=meas,
+                     good=_jnp.asarray(True))
+    adjust = kfs.valid & ~kfs.fixed
+    return config, sm, cam, adjust
+
+
 def build_fixed_map(config: SLAMConfig, rng, per_level=(60, 40, 24, 12),
                     depth=4.0, px_per_m=120.0):
     """One-keyframe map with exact ground-truth plane points created from
