@@ -269,3 +269,41 @@ def test_non_full_rows_use_free_slot():
     assert int(out.kf[1, 1]) == 2
     assert int(out.source[1, 1]) == map_store.SRC_EPIPOLAR
     assert not bool(jnp.any(out.valid[jnp.asarray([0, 2, 3])]))
+
+
+def test_batched_refind_matches_per_kf_loop(two_kf_map):
+    """refind_in_keyframes_batched (one dispatch, vmapped search + scanned
+    insertion) must replicate the sequential per-keyframe loop exactly."""
+    config, slam_map, cam, scene, (R0, t0), (R1, t1), n = two_kf_map
+    K = slam_map.keyframes.n_slots
+    N = slam_map.points.n_slots
+    mask = slam_map.points.valid
+
+    # Sequential per-KF reference (valid KFs in index order).
+    sm_seq = slam_map
+    found_seq = np.zeros((K, N), bool)
+    never_seq = np.zeros((K, N), bool)
+    for k in np.nonzero(np.asarray(slam_map.keyframes.valid))[0]:
+        sm_seq, f, nv = mapmaker.refind_in_keyframe(
+            sm_seq, int(k), cam, mask, config
+        )
+        found_seq[k] = np.asarray(f)
+        never_seq[k] = np.asarray(nv)
+
+    mask_kn = jnp.broadcast_to(mask[None], (K, N))
+    sm_b, found_b, never_b = mapmaker.refind_in_keyframes_batched(
+        slam_map, cam, mask_kn, config
+    )
+    np.testing.assert_array_equal(found_seq, np.asarray(found_b))
+    np.testing.assert_array_equal(never_seq, np.asarray(never_b))
+    np.testing.assert_array_equal(
+        np.asarray(sm_seq.meas.valid), np.asarray(sm_b.meas.valid)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(sm_seq.meas.kf), np.asarray(sm_b.meas.kf)
+    )
+    f_any = found_seq.any(0)
+    np.testing.assert_allclose(
+        np.asarray(sm_seq.meas.uv)[f_any],
+        np.asarray(sm_b.meas.uv)[f_any], atol=1e-5,
+    )

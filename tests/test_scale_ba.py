@@ -85,3 +85,54 @@ def test_512kf_pcg_matches_dense_on_subblock():
     rms_chol = float(bundle.reprojection_rms(
         prob, cam, res_chol.cam_R, res_chol.cam_t, res_chol.points))
     assert abs(rms_pcg - rms_chol) < 0.05, (rms_pcg, rms_chol)
+
+
+def test_band_assembly_matches_scatter():
+    """assembly='band' (block-band psum payload) must reproduce the dense
+    scatter assembly exactly when all camera pairs fit the band."""
+    rng = np.random.default_rng(7)
+    config, sm, cam, adjust = fixtures.build_band_ba_map(
+        rng, n_kf=96, n_pts=4000, obs_per_pt=4,
+        pose_perturb=0.015, point_perturb=0.02,
+    )
+    prob = mapmaker.build_ba_problem(sm, adjust, config)
+    assert bundle.max_pair_offset(prob.meas_kf, prob.meas_valid) <= 16
+    res_b = bundle.bundle_adjust(
+        prob, cam, max_iters=3, solver="chol", assembly="band",
+        band_halfwidth=16, point_block=1024,
+    )
+    res_s = bundle.bundle_adjust(
+        prob, cam, max_iters=3, solver="chol", assembly="scatter",
+        point_block=1024,
+    )
+    np.testing.assert_allclose(
+        np.asarray(res_b.cam_t), np.asarray(res_s.cam_t), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(res_b.points), np.asarray(res_s.points), atol=1e-5
+    )
+
+
+def test_max_pair_offset():
+    kf = jnp.asarray([[0, 3, 5, 0], [10, 11, 12, 0], [2, 2, 2, 2]])
+    mv = jnp.asarray([[True, True, True, False],
+                      [True, True, True, False],
+                      [True, True, True, True]])
+    assert bundle.max_pair_offset(kf, mv) == 5
+    assert bundle.max_pair_offset(kf, jnp.zeros_like(mv)) == 0
+
+
+def test_512kf_band_ba(big_problem):
+    """The odometry band problem also runs through the mesh-friendly
+    band+Cholesky route (what SLAMSystem picks for it)."""
+    config, prob, cam = big_problem
+    assert bundle.max_pair_offset(prob.meas_kf, prob.meas_valid) <= \
+        config.bundle.band_halfwidth
+    res = bundle.bundle_adjust(
+        prob, cam, max_iters=3, solver="chol", assembly="band",
+        band_halfwidth=config.bundle.band_halfwidth, point_block=2048,
+    )
+    rms = float(
+        bundle.reprojection_rms(prob, cam, res.cam_R, res.cam_t, res.points)
+    )
+    assert rms < 0.45, f"band-path rms {rms}"

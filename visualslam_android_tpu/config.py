@@ -143,6 +143,10 @@ class BundleConfig:
     dense_solver_max_cams: int = 64
     cg_iters: int = 250
     cg_tol: float = 1e-6
+    # Block-band Schur assembly (assembly="band"): used when every
+    # co-observing camera pair is within this index offset — odometry
+    # maps — cutting the sharded-BA collective payload by ~K/(2P+1).
+    band_halfwidth: int = 16
 
 
 @dataclasses.dataclass(frozen=True)

@@ -212,6 +212,73 @@ def _schur_blocks_scatter(meas_kf, Y, W, eps_b, K, block: int):
     return S_corr, E_corr
 
 
+def _schur_blocks_band(meas_kf, Y, W, eps_b, K, band: int, block: int):
+    """Schur correction in BLOCK-BAND form: S_band [K, 2*band+1, 6, 6]
+    where S_band[i, d] is the (i, i+d-band) camera-pair block. For
+    odometry-style maps every co-observing camera pair is within a small
+    index offset, so psumming the band (K*(2*band+1)*36 floats) replaces
+    psumming the dense [K,6,K,6] correction (K*K*36) — the collective
+    payload drops by K/(2*band+1), which is what makes sharded global BA
+    scale (see parallel/sharded_ba.comm_bytes_per_lm_step). Pairs outside
+    the band are DROPPED — callers must check max_pair_offset() <= band
+    (models/slam.py does) or results are silently wrong."""
+    N, O = meas_kf.shape
+    n_blocks = -(-N // block)
+    pad = n_blocks * block - N
+
+    def pad0(x):
+        return jnp.pad(x, [(0, pad)] + [(0, 0)] * (x.ndim - 1))
+
+    kfp, Yp, Wp = pad0(meas_kf), pad0(Y), pad0(W)
+    E_corr = _e_corr_scatter(meas_kf, Y, eps_b, K)
+
+    def body(S_acc, idx):
+        sl = lambda x: lax.dynamic_slice_in_dim(x, idx * block, block)
+        kfb, Yb, Wb = sl(kfp), sl(Yp), sl(Wp)
+        T = jnp.einsum("noab,npcb->nopac", Yb, Wb)  # [B, O, O, 6, 6]
+        ii = jnp.broadcast_to(kfb[:, :, None], T.shape[:3]).reshape(-1)
+        jj = jnp.broadcast_to(kfb[:, None, :], T.shape[:3]).reshape(-1)
+        dd = jj - ii + band  # out-of-range scatters drop
+        return S_acc.at[ii, dd].add(
+            T.reshape(-1, 6, 6), mode="drop"
+        ), None
+
+    S_band, _ = lax.scan(
+        body, jnp.zeros((K, 2 * band + 1, 6, 6), Y.dtype),
+        jnp.arange(n_blocks),
+    )
+    return S_band, E_corr
+
+
+def _band_to_dense(S_band, K, band: int):
+    """Reconstruct the dense correction [K, 6, K, 6] from its block band —
+    local (post-psum) work, no communication."""
+    ii = jnp.broadcast_to(
+        jnp.arange(K)[:, None], (K, 2 * band + 1)
+    )
+    jj = ii + jnp.arange(-band, band + 1)[None, :]
+    ok = (jj >= 0) & (jj < K)
+    vals = jnp.where(ok[..., None, None], S_band, 0.0)
+    return jnp.zeros((K, 6, K, 6), S_band.dtype).at[
+        ii.reshape(-1), :, jnp.clip(jj, 0, K - 1).reshape(-1), :
+    ].add(vals.reshape(-1, 6, 6))
+
+
+def max_pair_offset(meas_kf, meas_valid) -> int:
+    """Largest |i - j| over co-observing camera pairs (host-side helper
+    for choosing assembly='band'). NumPy, not traced."""
+    import numpy as np
+
+    kf = np.asarray(meas_kf)
+    mv = np.asarray(meas_valid)
+    any_valid = mv.any(axis=1)
+    if not any_valid.any():
+        return 0
+    hi = np.where(mv, kf, np.iinfo(np.int32).min).max(axis=1)
+    lo = np.where(mv, kf, np.iinfo(np.int32).max).min(axis=1)
+    return int((hi - lo)[any_valid].max())
+
+
 def _pcg_camera_solve(U_star, free, meas_kf, W, Vinv, b, pa,
                       cg_iters: int, cg_tol: float):
     """Matrix-free block-Jacobi-preconditioned CG on the reduced camera
@@ -283,7 +350,7 @@ def _pcg_camera_solve(U_star, free, meas_kf, W, Vinv, b, pa,
         "max_iters", "point_block", "axis_name",
         "assembly", "solver", "cg_iters", "cg_tol",
         "update_conv", "min_sigma_sq", "lambda_init", "lambda_good",
-        "lambda_factor_init",
+        "lambda_factor_init", "band_halfwidth",
     ),
 )
 def bundle_adjust(
@@ -295,6 +362,7 @@ def bundle_adjust(
     update_conv: float = 1e-6, min_sigma_sq: float = MIN_SIGMA_SQ,
     lambda_init: float = 1e-4, lambda_good: float = 0.3,
     lambda_factor_init: float = 2.0,
+    band_halfwidth: int = 16,
 ) -> BAResult:
     """Full Bundle::Compute (Bundle.cc:136-178) as a jitted fixed-shape
     program. max_iters bounds TOTAL inner iterations (the reference's
@@ -310,11 +378,15 @@ def bundle_adjust(
 
     Scale knobs (SURVEY.md §7 "sparse Schur structure at scale"):
     - assembly: "onehot" (dense MXU contractions per point block; right
-      for local-BA K) or "scatter" (per-point camera-pair blocks
-      scattered into S; O(N·O²) instead of O(N·K²), right for large K);
+      for local-BA K), "scatter" (per-point camera-pair blocks scattered
+      into S; O(N·O²) instead of O(N·K²), right for large K), or "band"
+      (block-band form [K, 2*band_halfwidth+1, 6, 6]: psums K/(2P+1)x
+      less than the dense correction — the multi-chip scaling path for
+      odometry-band maps; requires max_pair_offset <= band_halfwidth);
     - solver: "chol" (dense Cholesky of the [6K, 6K] reduced system) or
-      "pcg" (matrix-free block-Jacobi CG; never forms S — the KITTI-scale
-      global-BA path, K in the hundreds).
+      "pcg" (matrix-free block-Jacobi CG; never forms S, but pays one
+      [K,6] psum per CG iteration when sharded — latency-bound on a
+      mesh, so prefer assembly="band" + "chol" there when the band fits).
     """
     dtype = prob.points.dtype
     N, O = prob.meas_kf.shape
@@ -438,15 +510,24 @@ def bundle_adjust(
                     cg_iters, cg_tol,
                 )
             else:
-                if assembly == "scatter":
+                if assembly == "band":
+                    # psum the block band, reconstruct dense locally.
+                    S_band, E_corr = _schur_blocks_band(
+                        prob.meas_kf, Y, W, eps_b, K, band_halfwidth,
+                        point_block,
+                    )
+                    S_band, E_corr = _pa(S_band), _pa(E_corr)
+                    S_corr = _band_to_dense(S_band, K, band_halfwidth)
+                elif assembly == "scatter":
                     S_corr, E_corr = _schur_blocks_scatter(
                         prob.meas_kf, Y, W, eps_b, K, point_block
                     )
+                    S_corr, E_corr = _pa(S_corr), _pa(E_corr)
                 else:
                     S_corr, E_corr = _schur_blocks(
                         C, Y, W, eps_b, point_block
                     )
-                S_corr, E_corr = _pa(S_corr), _pa(E_corr)
+                    S_corr, E_corr = _pa(S_corr), _pa(E_corr)
 
                 S = -S_corr  # [K, 6, K, 6]
                 kk = jnp.arange(K)

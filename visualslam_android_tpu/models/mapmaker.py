@@ -475,23 +475,18 @@ def insert_new_points(
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("config",))
-def refind_in_keyframe(
-    slam_map: SLAMMap, kf_idx, cam, point_mask, config: SLAMConfig,
-):
-    """Batched ReFind_Common over `point_mask` points in one keyframe:
-    project at the KF pose, warped template, coarse search radius 4,
-    subpixel if level > 0 (8 iterations). Returns
-    (slam_map, found_mask, never_retry_new): measurements are added for
-    found points; never_retry_new marks (point, this-KF) failures."""
+def _refind_search(slam_map: SLAMMap, kf_idx, cam, active, config):
+    """The pure search half of ReFind_Common for one keyframe: project the
+    `active` points at the KF pose, warp templates, coarse search radius
+    4, subpixel if level > 0. Returns (found [N], pos_zero [N, 2],
+    search_level [N], did_subpix [N]). vmap-able over kf_idx/active —
+    refind_in_keyframes_batched does exactly that."""
     pts, kfs, meas = slam_map.points, slam_map.keyframes, slam_map.meas
     N = pts.n_slots
     dtype = pts.pos_w.dtype
     tc = config.tracker
 
     R, t = kfs.R[kf_idx], kfs.t[kf_idx]
-    already = map_store.point_observed_in(meas, kf_idx)
-    active = point_mask & pts.live() & ~already
 
     image_size = jnp.asarray([tc.width, tc.height], dtype)
     pc = jnp.einsum("ij,nj->ni", R, pts.pos_w) + t
@@ -563,8 +558,68 @@ def refind_in_keyframe(
         did_subpix = did_subpix | sel
 
     found = found & active_t
+    return found, pos_zero, search_level, did_subpix
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def refind_in_keyframe(
+    slam_map: SLAMMap, kf_idx, cam, point_mask, config: SLAMConfig,
+):
+    """Batched ReFind_Common over `point_mask` points in one keyframe:
+    project at the KF pose, warped template, coarse search radius 4,
+    subpixel if level > 0 (8 iterations). Returns
+    (slam_map, found_mask, never_retry_new): measurements are added for
+    found points; never_retry_new marks (point, this-KF) failures."""
+    pts, meas = slam_map.points, slam_map.meas
+    already = map_store.point_observed_in(meas, kf_idx)
+    active = point_mask & pts.live() & ~already
+    found, pos_zero, search_level, did_subpix = _refind_search(
+        slam_map, kf_idx, cam, active, config
+    )
     meas = add_measurements_batch(
         meas, found, kf_idx, pos_zero, search_level, SRC_REFIND, did_subpix
+    )
+    never_retry_new = active & ~found
+    return slam_map._replace(meas=meas), found, never_retry_new
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def refind_in_keyframes_batched(
+    slam_map: SLAMMap, cam, point_mask_kn, config: SLAMConfig,
+):
+    """ReFindNewlyMade / ReFindFromFailureQueue over ALL keyframes in ONE
+    dispatch (the SURVEY §7.7 points x KFs stage; replaces the host loop
+    of one jitted call per keyframe — jni/MapMaker.cc:1061-1095):
+
+    - the pure search half is vmapped over the keyframe axis (each lane
+      matches the full point set against its own keyframe's pyramid);
+    - measurement insertion then replays sequentially over keyframes in a
+      lax.scan so slot allocation/eviction semantics are identical to the
+      per-keyframe loop.
+
+    point_mask_kn [K, N]: per-keyframe point selection (the caller folds
+    in keyframe validity and its never-retry bookkeeping). Returns
+    (slam_map, found_kn [K, N], never_retry_new_kn [K, N])."""
+    pts, kfs, meas = slam_map.points, slam_map.keyframes, slam_map.meas
+    K = kfs.n_slots
+    kf_idxs = jnp.arange(K)
+    already = jax.vmap(
+        lambda k: map_store.point_observed_in(meas, k)
+    )(kf_idxs)  # [K, N]
+    active = (
+        point_mask_kn & pts.live()[None] & ~already
+        & kfs.valid[:, None]
+    )
+    found, pos_zero, search_level, did_subpix = jax.vmap(
+        lambda k, a: _refind_search(slam_map, k, cam, a, config)
+    )(kf_idxs, active)
+
+    def body(m, xs):
+        k, f, p, lvl, sp = xs
+        return add_measurements_batch(m, f, k, p, lvl, SRC_REFIND, sp), None
+
+    meas, _ = lax.scan(
+        body, meas, (kf_idxs, found, pos_zero, search_level, did_subpix)
     )
     never_retry_new = active & ~found
     return slam_map._replace(meas=meas), found, never_retry_new

@@ -630,21 +630,31 @@ class SLAMSystem:
         )
         return found
 
+    def _refind_batched(self, point_mask_kn):
+        """One points x keyframes refind dispatch + queue bookkeeping."""
+        mask_kn = point_mask_kn & ~self.never_retry.T
+        sm, found_kn, never_kn = mapmaker.refind_in_keyframes_batched(
+            self.slam_map, self.cam, mask_kn, self.config
+        )
+        self.slam_map = sm
+        self.never_retry = self.never_retry | never_kn.T
+        self.failure_mask = self.failure_mask & ~found_kn.T
+
     def _refind_newly_made(self):
-        """ReFindNewlyMade (MapMaker.cc:1061-1080)."""
+        """ReFindNewlyMade (MapMaker.cc:1061-1080): all new points against
+        ALL keyframes in one jitted points x KFs stage (SURVEY §7.7) —
+        the per-keyframe host loop would be O(K) dispatches."""
         new = self.new_points
         self.new_points = jnp.zeros_like(new)
-        for k in np.nonzero(np.asarray(self.slam_map.keyframes.valid))[0]:
-            self._refind_in_kf(int(k), new)
+        K = self.slam_map.keyframes.n_slots
+        self._refind_batched(jnp.broadcast_to(new[None], (K, new.shape[0])))
 
     def _refind_from_failure_queue(self):
-        """ReFindFromFailureQueue (MapMaker.cc:1083-1095)."""
+        """ReFindFromFailureQueue (MapMaker.cc:1083-1095), same batched
+        stage with the per-keyframe pending masks."""
         pending = self.failure_mask
         self.failure_mask = jnp.zeros_like(self.failure_mask)
-        for k in np.nonzero(np.asarray(jnp.any(pending, axis=0)))[0]:
-            self._refind_in_kf(
-                int(k), pending[:, int(k)] & self.slam_map.points.valid
-            )
+        self._refind_batched(pending.T & self.slam_map.points.valid[None])
 
     def _handle_bad_points(self):
         self.slam_map, newly_bad = mapmaker.handle_bad_points(
@@ -681,15 +691,27 @@ class SLAMSystem:
     def _run_ba(self, adjust_mask, max_iters) -> bool:
         cfg = self.config
         prob = mapmaker.build_ba_problem(self.slam_map, adjust_mask, cfg)
-        # Above dense_solver_max_cams camera slots, switch to the
-        # KITTI-scale path: scatter Schur assembly + matrix-free PCG.
-        large = prob.cam_R.shape[0] > cfg.bundle.dense_solver_max_cams
+        # Above dense_solver_max_cams camera slots, switch to a
+        # KITTI-scale path: band Schur assembly + dense local solve when
+        # every co-observing pair fits the band (odometry maps — the
+        # mesh-friendly choice, one small psum per inner iteration),
+        # otherwise matrix-free PCG.
         bc = cfg.bundle
+        large = prob.cam_R.shape[0] > bc.dense_solver_max_cams
+        if large:
+            offset = bundle_mod.max_pair_offset(
+                prob.meas_kf, prob.meas_valid
+            )
+            banded = offset <= bc.band_halfwidth
+            assembly = "band" if banded else "scatter"
+            solver = "chol" if banded else "pcg"
+        else:
+            assembly, solver = "onehot", "chol"
         res = bundle_mod.bundle_adjust(
             prob, self.cam, max_iters=max_iters,
             point_block=bc.point_block,
-            assembly="scatter" if large else "onehot",
-            solver="pcg" if large else "chol",
+            assembly=assembly, solver=solver,
+            band_halfwidth=bc.band_halfwidth,
             cg_iters=bc.cg_iters, cg_tol=bc.cg_tol,
             update_conv=bc.update_convergence,
             min_sigma_sq=bc.min_tukey_sigma ** 2,

@@ -69,7 +69,8 @@ def pad_problem(prob: BAProblem, multiple: int) -> BAProblem:
 
 
 def comm_bytes_per_lm_step(K, N_global, O, solver="pcg", cg_iters=250,
-                           inner_iters=1, dtype_bytes=4):
+                           inner_iters=1, dtype_bytes=4,
+                           assembly="scatter", band_halfwidth=16):
     """Logical all-reduce/all-gather payload per LM outer step of
     `bundle_adjust(axis_name=...)` — the communication the sharding
     design puts on ICI, itemized so strong-scaling projections can be made
@@ -85,8 +86,10 @@ def comm_bytes_per_lm_step(K, N_global, O, solver="pcg", cg_iters=250,
       sigma (err_sq f32 + ok bool per measurement);
     - u_eps: psum of the camera accumulators U [K,6,6] + eps_a [K,6];
     - solve: solver='pcg' -> E_corr [K,6] psum + one [K,6] psum per CG
-      iteration per inner lambda iteration; solver='chol'/'scatter' ->
-      S_corr [K,6,K,6] + E_corr [K,6] psums per inner iteration;
+      iteration per inner lambda iteration; solver='chol' with
+      assembly='band' -> S_band [K, 2P+1, 6, 6] + E_corr psums per inner
+      iteration (the mesh-friendly path); assembly='scatter'/'onehot' ->
+      the dense S_corr [K,6,K,6] + E_corr psums;
     - scalars: objective/update-norm psums (negligible, counted anyway).
     """
     b = {}
@@ -95,6 +98,11 @@ def comm_bytes_per_lm_step(K, N_global, O, solver="pcg", cg_iters=250,
     if solver == "pcg":
         b["solve"] = inner_iters * (
             K * 6 * dtype_bytes * (1 + cg_iters)
+        )
+    elif assembly == "band":
+        b["solve"] = inner_iters * (
+            K * (2 * band_halfwidth + 1) * 36 * dtype_bytes
+            + K * 6 * dtype_bytes
         )
     else:
         b["solve"] = inner_iters * (
