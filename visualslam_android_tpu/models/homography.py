@@ -107,10 +107,24 @@ def _refine(H, first, second, pixel_jac, inliers):
     sigma_sq = me.find_sigma_squared(e2, inliers, me.TUKEY)
     w = me.weight(e2, jnp.maximum(sigma_sq, 1e-12), me.TUKEY)
     w = jnp.where(inliers, w, 0.0)
-    A = jnp.einsum("mak,mal,m->kl", J, J, w) + jnp.eye(9, dtype=dtype)
+    A = jnp.einsum("mak,mal,m->kl", J, J, w)
     b = jnp.einsum("mak,ma,m->k", J, err, w)
-    upd = jnp.linalg.solve(A, b)
-    return H + upd.reshape(3, 3)
+    # The 9-parameter system is gauge-deficient — homography scale is
+    # unobservable, J @ vec(H) = 0 — so A has one ~zero eigenvalue whose
+    # f32 accumulation noise (~|A| * 1e-7, i.e. O(10) when the data terms
+    # reach ~1e8 at pixel scale) can even go negative; a plain LU solve
+    # returns NaN there. The reference solves the same system in double
+    # with a unit prior (myWLS.h:29-62, HomographyInit.cc:186-205). The
+    # f32-native equivalent: truncated eigen-solve that inverts only the
+    # directions f32 actually resolves, which gauge-fixes the update.
+    lam, V = jnp.linalg.eigh(A)
+    lam_max = jnp.maximum(lam[-1], jnp.asarray(1e-12, dtype))
+    good = lam > 1e-6 * lam_max
+    inv = jnp.where(good, 1.0 / jnp.where(good, lam, 1.0), 0.0)
+    upd = V @ (inv * (V.T @ b))
+    Hn = H + upd.reshape(3, 3)
+    # Keep the gauge direction consistent across rounds.
+    return Hn / jnp.maximum(jnp.linalg.norm(Hn), 1e-12)
 
 
 def _decompose(H):
