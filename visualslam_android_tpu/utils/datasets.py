@@ -67,8 +67,14 @@ def load_tum(root: str, size=(640, 480), max_frames=None) -> Sequence:
                 vals = [float(v) for v in line.split()]
                 raw.append(vals)
         raw = np.asarray(raw)
-        idx = np.searchsorted(raw[:, 0], ts)
-        idx = np.clip(idx, 0, len(raw) - 1)
+        # Nearest-timestamp association (TUM protocol): searchsorted gives
+        # the first gt >= ts; compare with its left neighbor and take the
+        # closer one.
+        hi = np.clip(np.searchsorted(raw[:, 0], ts), 0, len(raw) - 1)
+        lo = np.clip(hi - 1, 0, len(raw) - 1)
+        idx = np.where(
+            np.abs(raw[lo, 0] - ts) <= np.abs(raw[hi, 0] - ts), lo, hi
+        )
         gt_pos = raw[idx, 1:4]
         gt_quat = raw[idx, 4:8]
     return Sequence(
@@ -101,7 +107,27 @@ def load_kitti(root: str, sequence="00", size=(620, 188),
     )
 
 
-def iter_images(seq: Sequence) -> Iterator[np.ndarray]:
+def iter_images(seq: Sequence, use_native: bool = True
+                ) -> Iterator[np.ndarray]:
+    """Yield float32 grayscale frames at seq.size. Uses the native
+    prefetch pipeline (native/vstpu_runtime.cpp FramePipeline: worker
+    threads decode+resize ahead of the consumer, the role of the
+    reference's camera thread) when the library is built; falls back to
+    synchronous PIL decoding otherwise."""
+    if use_native:
+        from visualslam_android_tpu import native_runtime
+
+        if native_runtime.available():
+            w, h = seq.size
+            try:
+                with native_runtime.FramePipeline(
+                    seq.frames, w, h
+                ) as pipe:
+                    for _, img in pipe:
+                        yield img.astype(np.float32)
+                return
+            except native_runtime.NativeRuntimeUnavailable:
+                pass
     for path in seq.frames:
         yield _imread_gray(path, seq.size)
 
