@@ -50,3 +50,32 @@ def test_sharded_epipolar_matches_single_device(two_kf_map):  # noqa: F811
         np.asarray(res1.target_uv)[s], np.asarray(res8.target_uv)[s],
         atol=1e-3,
     )
+
+
+def test_scalable_refind_matches_single_device(two_kf_map):  # noqa: F811
+    """sharded_refind_scalable (pyramid store SHARDED over the mesh, slab
+    exchange + target broadcast) must reproduce the replicated-map refind
+    search exactly."""
+    config, slam_map, cam, scene, (R0, t0), (R1, t1), n = two_kf_map
+    sm1, found1, never1 = mapmaker.refind_in_keyframe(
+        slam_map, 1, cam, slam_map.points.valid, config
+    )
+    mesh = sharded_ba.make_mesh()
+    found, pos_zero, search_level, did_subpix = (
+        sharded_mapping.sharded_refind_scalable(
+            slam_map, 1, cam, slam_map.points.valid, config, mesh
+        )
+    )
+    np.testing.assert_array_equal(np.asarray(found1), np.asarray(found))
+    # Reconstruct the measurement insertion the replicated path did.
+    meas = mapmaker.add_measurements_batch(
+        slam_map.meas, found, 1, pos_zero, search_level,
+        mapmaker.SRC_REFIND, did_subpix,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(sm1.meas.valid), np.asarray(meas.valid)
+    )
+    f = np.asarray(found1)
+    np.testing.assert_allclose(
+        np.asarray(sm1.meas.uv)[f], np.asarray(meas.uv)[f], atol=1e-4
+    )

@@ -475,18 +475,24 @@ def insert_new_points(
 # ---------------------------------------------------------------------------
 
 
-def _refind_search(slam_map: SLAMMap, kf_idx, cam, active, config):
-    """The pure search half of ReFind_Common for one keyframe: project the
-    `active` points at the KF pose, warp templates, coarse search radius
-    4, subpixel if level > 0. Returns (found [N], pos_zero [N, 2],
-    search_level [N], did_subpix [N]). vmap-able over kf_idx/active —
-    refind_in_keyframes_batched does exactly that."""
-    pts, kfs, meas = slam_map.points, slam_map.keyframes, slam_map.meas
+def _refind_search_core(
+    pts, slabs, R, t, target_pyramid, target_corner_mask, cam, active,
+    config,
+):
+    """The pure search half of ReFind_Common against ONE target keyframe,
+    expressed purely in point-major arrays + the single target frame:
+    project the `active` points at pose (R, t), warp templates from the
+    pre-extracted source slabs, coarse search radius 4, subpixel if
+    level > 0 (8 iterations). Returns (found [N], pos_zero [N, 2],
+    search_level [N], did_subpix [N]).
+
+    Every input is either per-point (pts fields, slabs, active) or
+    O(one frame) (pose, target pyramid/corner masks) — so this core can
+    run inside a point-sharded region without replicating the keyframe
+    store (parallel/sharded_mapping.sharded_refind_scalable)."""
     N = pts.n_slots
     dtype = pts.pos_w.dtype
     tc = config.tracker
-
-    R, t = kfs.R[kf_idx], kfs.t[kf_idx]
 
     image_size = jnp.asarray([tc.width, tc.height], dtype)
     pc = jnp.einsum("ij,nj->ni", R, pts.pos_w) + t
@@ -510,19 +516,11 @@ def _refind_search(slam_map: SLAMMap, kf_idx, cam, active, config):
     )
     active_t = active & proj_ok & warp_ok
 
-    # Warped templates (4 masked source-level passes).
+    # Warped templates from the pre-extracted source slabs.
     hp = config.patch.half_patch_size
-    data = jnp.zeros((N, 2 * hp + 1, 2 * hp + 1), dtype)
-    bad = jnp.ones(N, bool)
-    for lvl in range(N_LEVELS):
-        sel = pts.source_level == lvl
-        tl = match.make_templates_warped(
-            kfs.pyramid[lvl], pts.source_kf, pts.center,
-            warp_inv, search_level, hp,
-        )
-        data = jnp.where(sel[:, None, None], tl.data, data)
-        bad = jnp.where(sel, tl.bad, bad)
-    tmpl = match._finalize_templates(data, bad)
+    tmpl = match.make_templates_from_slabs(
+        slabs, pts.center, warp_inv, search_level, hp
+    )
     active_t = active_t & ~tmpl.bad
 
     # Coarse search radius 4 (MapMaker.cc:1014), per search level.
@@ -533,7 +531,7 @@ def _refind_search(slam_map: SLAMMap, kf_idx, cam, active, config):
         scale = 1 << lvl
         pred_l = (px + 0.5) / scale - 0.5
         res = match.find_patch_coarse(
-            kfs.pyramid[lvl][kf_idx], kfs.corner_mask[lvl][kf_idx], tmpl,
+            target_pyramid[lvl], target_corner_mask[lvl], tmpl,
             pred_l, jnp.ceil(jnp.full((N,), 4.0) / scale), sel,
             search_range=4,
         )
@@ -546,7 +544,7 @@ def _refind_search(slam_map: SLAMMap, kf_idx, cam, active, config):
     for lvl in range(1, N_LEVELS):
         sel = active_t & found & (search_level == lvl)
         res = match.iterate_subpix(
-            kfs.pyramid[lvl][kf_idx], tmpl, pos_zero, search_level, sel,
+            target_pyramid[lvl], tmpl, pos_zero, search_level, sel,
             max_iters=8,  # refind uses 8, not subpix_max_iters (:1022)
             half_patch=hp, conv_limit=config.patch.subpix_converged,
         )
@@ -559,6 +557,26 @@ def _refind_search(slam_map: SLAMMap, kf_idx, cam, active, config):
 
     found = found & active_t
     return found, pos_zero, search_level, did_subpix
+
+
+def _refind_search(slam_map: SLAMMap, kf_idx, cam, active, config,
+                   slabs=None):
+    """ReFind search against keyframe `kf_idx` of the map: extract source
+    slabs (unless the caller pre-extracted them — they are kf_idx
+    independent), slice out the target frame, run the point-major core.
+    vmap-able over kf_idx/active with slabs closed over —
+    refind_in_keyframes_batched does exactly that."""
+    pts, kfs = slam_map.points, slam_map.keyframes
+    if slabs is None:
+        slabs = match.extract_template_slabs(
+            kfs.pyramid, pts.source_kf, pts.source_level, pts.center
+        )
+    target_pyramid = tuple(p[kf_idx] for p in kfs.pyramid)
+    target_corner_mask = tuple(c[kf_idx] for c in kfs.corner_mask)
+    return _refind_search_core(
+        pts, slabs, kfs.R[kf_idx], kfs.t[kf_idx], target_pyramid,
+        target_corner_mask, cam, active, config,
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("config",))
@@ -610,8 +628,12 @@ def refind_in_keyframes_batched(
         point_mask_kn & pts.live()[None] & ~already
         & kfs.valid[:, None]
     )
+    # Source slabs are kf-independent: extract ONCE, close over the vmap.
+    slabs = match.extract_template_slabs(
+        kfs.pyramid, pts.source_kf, pts.source_level, pts.center
+    )
     found, pos_zero, search_level, did_subpix = jax.vmap(
-        lambda k, a: _refind_search(slam_map, k, cam, a, config)
+        lambda k, a: _refind_search(slam_map, k, cam, a, config, slabs)
     )(kf_idxs, active)
 
     def body(m, xs):

@@ -227,21 +227,27 @@ def make_templates_warped(
     return _finalize_templates(data, bad)
 
 
-def make_templates_warped_multilevel(
-    source_pyramids, source_kf, source_level, source_center, warp_inv,
-    search_level, half_patch=5,
-):
-    """Warped templates for points whose source patches live in DIFFERENT
-    pyramid levels: one masked slab extraction per level (cheap
-    dynamic_slice passes), then a single separable-bilinear resample for
-    every point at once.
+class TemplateSlabs(NamedTuple):
+    """Per-point source-image slabs: the ONLY data a warped template needs
+    from its source keyframe. Point-major, so template generation (and
+    everything downstream) can be sharded over points WITHOUT replicating
+    the keyframe pyramid store — the memory axis that matters at scale."""
+
+    regions: jnp.ndarray  # [N, G, G] source pixels around the center
+    base: jnp.ndarray     # [N, 2] region origin in source-level coords
+    dims: jnp.ndarray     # [N, 2] (W, H) of the source level
+
+
+def extract_template_slabs(
+    source_pyramids, source_kf, source_level, source_center,
+) -> TemplateSlabs:
+    """Slab extraction for points whose source patches live in DIFFERENT
+    pyramid levels: one masked extraction pass per level.
 
     source_pyramids: tuple over levels of [K, H_l, W_l] keyframe stacks.
-    Replaces four full make_templates_warped passes (4x the interpolation
-    work) in the tracker's PVS template build.
     """
     N = source_kf.shape[0]
-    dtype = warp_inv.dtype
+    dtype = source_pyramids[0].dtype
     slab = 2 * TEMPLATE_SLAB_HALF + 1
     G = img_ops.region_size(slab)
     center_int = jnp.round(source_center).astype(jnp.int32)
@@ -257,13 +263,40 @@ def make_templates_warped_multilevel(
         regions = jnp.where(sel[:, None, None], rg, regions)
         base = jnp.where(sel[:, None], b, base)
         dims = jnp.where(sel[:, None], jnp.asarray([W, H], dtype), dims)
+    return TemplateSlabs(regions=regions, base=base, dims=dims)
+
+
+def make_templates_from_slabs(
+    slabs: TemplateSlabs, source_center, warp_inv, search_level,
+    half_patch=5,
+):
+    """Warped templates from pre-extracted slabs: a single
+    separable-bilinear resample for every point at once. Point-major in
+    and out — safe to run inside a point-sharded region."""
     m2 = _warp_m2(warp_inv, search_level)
-    offs = img_ops.patch_grid(half_patch, dtype)
+    offs = img_ops.patch_grid(half_patch, m2.dtype)
     src = source_center[:, None, :] + jnp.einsum("nij,pj->npi", m2, offs)
     data, bad = _warped_template_data(
-        regions, base, source_center, src, dims[:, None, :], half_patch
+        slabs.regions, slabs.base, source_center, src,
+        slabs.dims[:, None, :], half_patch,
     )
     return _finalize_templates(data, bad)
+
+
+def make_templates_warped_multilevel(
+    source_pyramids, source_kf, source_level, source_center, warp_inv,
+    search_level, half_patch=5,
+):
+    """Warped templates for points whose source patches live in DIFFERENT
+    pyramid levels: extract_template_slabs + make_templates_from_slabs.
+    Replaces four full make_templates_warped passes (4x the interpolation
+    work) in the tracker's PVS template build."""
+    slabs = extract_template_slabs(
+        source_pyramids, source_kf, source_level, source_center
+    )
+    return make_templates_from_slabs(
+        slabs, source_center, warp_inv, search_level, half_patch
+    )
 
 
 def make_templates_nowarp(source_imgs, source_kf, source_center, half_patch=5):

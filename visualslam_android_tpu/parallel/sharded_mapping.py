@@ -71,6 +71,129 @@ def sharded_refind_in_keyframe(
     return jax.jit(fn)(slam_map, jnp.asarray(kf_idx, jnp.int32), point_mask)
 
 
+def sharded_refind_scalable(
+    slam_map: SLAMMap, kf_idx, cam, point_mask, config, mesh: Mesh,
+):
+    """Memory-scalable sharded ReFind: the KEYFRAME PYRAMID STORE is
+    sharded over the mesh (each device holds K/D pyramids), not
+    replicated — the fix for the round-1 design where every device held
+    every pyramid (memory-prohibitive at the map sizes that motivate
+    sharding). Two explicit phases:
+
+    1. slab exchange: each device extracts the template source slabs for
+       points whose source keyframe lives in ITS pyramid shard, then a
+       psum_scatter over the point axis hands every device the compact
+       [N/D, G, G] slabs for its point shard — the only cross-device
+       traffic derived from pyramids (O(N*G^2/D) per device, independent
+       of K);
+    2. point-sharded search: the single target keyframe's pyramid is
+       broadcast from its owner (psum of one non-zero contribution,
+       O(H*W)), and each device runs the point-major search core on its
+       shard.
+
+    Returns (found [N], pos_zero [N, 2], search_level [N],
+    did_subpix [N]) reassembled across shards; the caller inserts
+    measurements (point-major, cheap) exactly like refind_in_keyframe.
+    """
+    axis = mesh.axis_names[0]
+    D = mesh.devices.size
+    pts, kfs = slam_map.points, slam_map.keyframes
+    N, K = pts.n_slots, kfs.n_slots
+    assert N % D == 0, (N, D)
+    kf_idx = jnp.asarray(kf_idx, jnp.int32)
+    R, t = kfs.R[kf_idx], kfs.t[kf_idx]  # tiny: replicate
+
+    pyramid, corner_mask = kfs.pyramid, kfs.corner_mask
+    pad = (-K) % D
+    if pad:
+        # Fewer KF slots than devices: pad the KF axis with empty frames
+        # (only the padded STORE layout changes; indices stay valid).
+        pad0 = lambda x: jnp.pad(x, [(0, pad)] + [(0, 0)] * (x.ndim - 1))
+        pyramid = tuple(pad0(p) for p in pyramid)
+        corner_mask = tuple(pad0(c) for c in corner_mask)
+        K += pad
+    K_loc = K // D
+
+    pts_spec = jax.tree.map(lambda _: P(axis), pts)
+    pyr_spec = jax.tree.map(lambda _: P(axis), kfs.pyramid)
+    cmask_spec = jax.tree.map(lambda _: P(axis), kfs.corner_mask)
+
+    def extract_phase(pyramid_shard, source_kf, source_level, center):
+        me = jax.lax.axis_index(axis)
+        lo = me * K_loc
+        local_kf = source_kf - lo
+        own = (local_kf >= 0) & (local_kf < K_loc)
+        safe_kf = jnp.clip(local_kf, 0, K_loc - 1)
+        slabs = mapmaker.match.extract_template_slabs(
+            pyramid_shard, safe_kf, source_level, center
+        )
+        zeroed = mapmaker.match.TemplateSlabs(
+            regions=jnp.where(own[:, None, None], slabs.regions, 0.0),
+            base=jnp.where(own[:, None], slabs.base, 0),
+            dims=jnp.where(own[:, None], slabs.dims, 0.0),
+        )
+        return jax.tree.map(
+            lambda x: jax.lax.psum_scatter(
+                x, axis, scatter_dimension=0, tiled=True
+            ),
+            zeroed,
+        )
+
+    def search_phase(pts_shard, slabs_shard, active_shard, pyramid_shard,
+                     cmask_shard, kf_idx_, R_, t_):
+        me = jax.lax.axis_index(axis)
+        lo = me * K_loc
+        own = (kf_idx_ >= lo) & (kf_idx_ < lo + K_loc)
+        safe = jnp.clip(kf_idx_ - lo, 0, K_loc - 1)
+
+        def bcast(stack, is_bool=False):
+            sl = jax.lax.dynamic_index_in_dim(
+                stack, safe, keepdims=False
+            )
+            contrib = jnp.where(
+                own, sl.astype(jnp.float32) if is_bool else sl, 0
+            )
+            out = jax.lax.psum(contrib, axis)
+            return (out > 0.5) if is_bool else out
+
+        target_pyr = tuple(bcast(p) for p in pyramid_shard)
+        target_cmask = tuple(bcast(c, is_bool=True) for c in cmask_shard)
+        return mapmaker._refind_search_core(
+            pts_shard, slabs_shard, R_, t_, target_pyr, target_cmask, cam,
+            active_shard, config,
+        )
+
+    extract = shard_map(
+        extract_phase, mesh=mesh,
+        in_specs=(pyr_spec, P(), P(), P()),
+        out_specs=jax.tree.map(lambda _: P(axis), mapmaker.match.TemplateSlabs(
+            regions=0, base=0, dims=0)),
+        check_rep=False,
+    )
+    search = shard_map(
+        search_phase, mesh=mesh,
+        in_specs=(
+            pts_spec,
+            jax.tree.map(lambda _: P(axis), mapmaker.match.TemplateSlabs(
+                regions=0, base=0, dims=0)),
+            P(axis), pyr_spec, cmask_spec, P(), P(), P(),
+        ),
+        out_specs=(P(axis), P(axis), P(axis), P(axis)),
+        check_rep=False,
+    )
+
+    @jax.jit
+    def run(pts_, pyramid, cmask, active, kf_idx_, R_, t_):
+        slabs = extract(
+            pyramid, pts_.source_kf, pts_.source_level, pts_.center
+        )
+        return search(pts_, slabs, active, pyramid, cmask, kf_idx_, R_, t_)
+
+    already = mapmaker.map_store.point_observed_in(slam_map.meas, kf_idx)
+    active = point_mask & pts.live() & ~already
+    return run(pts, pyramid, corner_mask, active, kf_idx, R, t)
+
+
 def sharded_epipolar_search(
     slam_map: SLAMMap, src_kf, target_kf, cam, level: int, config,
     mesh: Mesh,
