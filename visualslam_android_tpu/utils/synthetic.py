@@ -56,6 +56,48 @@ def make_planar_scene(rng, depth=4.0, tex_size=1024, px_per_m=160.0,
     return PlanarScene(texture=t, depth=depth, px_per_m=px_per_m)
 
 
+def make_photo_scene(depth=4.0, px_per_m=160.0, tile=2,
+                     photo_path=None) -> PlanarScene:
+    """Planar scene textured with a REAL photograph (matplotlib's bundled
+    grace_hopper.jpg — the only real-camera image shipped in this
+    environment; network egress is unavailable so TUM/KITTI imagery
+    cannot be fetched). Mirror-tiled to kill seam discontinuities. Real
+    photographs exercise natural texture statistics — smooth shading,
+    low-contrast regions, photographic noise — that the random-rectangle
+    texture cannot; combined with apply_sensor_effects this is the
+    closest obtainable stand-in for the BASELINE's real-imagery configs."""
+    if photo_path is None:
+        import matplotlib
+
+        photo_path = (
+            matplotlib.get_data_path() + "/sample_data/grace_hopper.jpg"
+        )
+    from PIL import Image
+
+    g = np.asarray(Image.open(photo_path).convert("L"), np.float32)
+    flip_h = g[:, ::-1]
+    row = np.concatenate([g, flip_h] * tile, axis=1)
+    full = np.concatenate([row, row[::-1]] * tile, axis=0)
+    return PlanarScene(
+        texture=jnp.asarray(full), depth=depth, px_per_m=px_per_m
+    )
+
+
+def apply_sensor_effects(img, rng, exposure_gain=1.0, exposure_bias=0.0,
+                         noise_std=2.0, blur_sigma=0.0):
+    """Camera-realism post-pass for rendered frames: exposure drift
+    (gain/bias), Gaussian read noise, optional defocus/motion blur. All
+    host-side numpy (test-data generation, not the compute path)."""
+    out = np.asarray(img, np.float32) * exposure_gain + exposure_bias
+    if blur_sigma > 0:
+        out = np.asarray(
+            img_ops.gaussian_blur(jnp.asarray(out), float(blur_sigma))
+        )
+    if noise_std > 0:
+        out = out + rng.normal(scale=noise_std, size=out.shape)
+    return np.clip(out, 0.0, 255.0).astype(np.float32)
+
+
 def render(scene: PlanarScene, cam: cam_ops.Camera, R, t, shape_hw):
     """Render the plane from camera pose (R, t) = camera-from-world.
 
