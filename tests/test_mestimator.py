@@ -74,3 +74,48 @@ def test_least_squares(rng):
     got = float(me.find_sigma_squared(jnp.asarray(e), estimator=me.LEAST_SQUARES))
     np.testing.assert_allclose(got, e.mean(), rtol=1e-5)
     assert float(me.weight(100.0, 1.0, me.LEAST_SQUARES)) == 1.0
+
+
+def test_hist_sigma_close_to_exact(rng):
+    """The log2-histogram median (distributed sigma path, one [bins] psum
+    instead of an error-table all_gather) must track the exact masked
+    median within the bin-interpolation tolerance."""
+    err_sq = (rng.normal(size=20000).astype(np.float32) ** 2) * 3.7
+    mask = rng.random(20000) < 0.8
+    exact = float(
+        me.find_sigma_squared(jnp.asarray(err_sq), jnp.asarray(mask))
+    )
+    hist = float(
+        me.find_sigma_squared_hist(jnp.asarray(err_sq), jnp.asarray(mask))
+    )
+    assert exact > 0
+    assert abs(hist - exact) / exact < 0.05, (hist, exact)
+
+
+def test_hist_sigma_scale_sweep(rng):
+    """Accuracy must hold across many orders of magnitude of error scale
+    (the histogram spans 2^-30..2^24 in squared-error units)."""
+    base = rng.exponential(size=4096).astype(np.float32)
+    for scale in (1e-4, 1e-2, 1.0, 1e2, 1e4):
+        err_sq = base * scale
+        exact = float(me.find_sigma_squared(jnp.asarray(err_sq)))
+        hist = float(me.find_sigma_squared_hist(jnp.asarray(err_sq)))
+        assert abs(hist - exact) / exact < 0.05, (scale, hist, exact)
+
+
+def test_hist_sigma_empty_mask():
+    err_sq = jnp.ones(64, jnp.float32)
+    mask = jnp.zeros(64, bool)
+    assert float(me.find_sigma_squared_hist(err_sq, mask)) == 0.0
+
+
+def test_hist_sigma_least_squares(rng):
+    err_sq = rng.exponential(size=512).astype(np.float32)
+    mask = rng.random(512) < 0.7
+    want = float(np.mean(err_sq[mask]))
+    got = float(
+        me.find_sigma_squared_hist(
+            jnp.asarray(err_sq), jnp.asarray(mask), me.LEAST_SQUARES
+        )
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-5)

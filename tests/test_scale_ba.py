@@ -136,3 +136,55 @@ def test_512kf_band_ba(big_problem):
         bundle.reprojection_rms(prob, cam, res.cam_R, res.cam_t, res.points)
     )
     assert rms < 0.45, f"band-path rms {rms}"
+
+
+def test_band_pcg_matches_band_chol():
+    """solver='band_pcg' (local CG on the psummed block band — zero
+    in-loop collectives, ~50x fewer replicated FLOPs than the dense
+    Cholesky) must reach the same optimum as the band+Cholesky route."""
+    rng = np.random.default_rng(3)
+    config, sm, cam, adjust = fixtures.build_band_ba_map(
+        rng, n_kf=96, n_pts=4000, obs_per_pt=4,
+        pose_perturb=0.015, point_perturb=0.02,
+    )
+    prob = mapmaker.build_ba_problem(sm, adjust, config)
+    res_c = bundle.bundle_adjust(
+        prob, cam, max_iters=3, solver="chol", assembly="band",
+        band_halfwidth=16, point_block=1024,
+    )
+    res_p = bundle.bundle_adjust(
+        prob, cam, max_iters=3, solver="band_pcg",
+        band_halfwidth=16, point_block=1024, cg_iters=300, cg_tol=1e-7,
+    )
+    rms_c = float(bundle.reprojection_rms(
+        prob, cam, res_c.cam_R, res_c.cam_t, res_c.points))
+    rms_p = float(bundle.reprojection_rms(
+        prob, cam, res_p.cam_R, res_p.cam_t, res_p.points))
+    assert int(res_p.accepted) >= 1
+    assert abs(rms_p - rms_c) < 0.05, (rms_p, rms_c)
+    # The two solvers walk slightly different LM paths (CG tolerance vs
+    # exact factorization), so poses agree to optimizer-step scale, not
+    # bitwise.
+    np.testing.assert_allclose(
+        np.asarray(res_p.cam_t), np.asarray(res_c.cam_t), rtol=0, atol=5e-2
+    )
+
+
+def test_hist_sigma_ba_matches_exact_sigma():
+    """sigma_mode='hist' (the [512]-psum distributed MAD) must converge the
+    band problem to the same optimum as the exact gathered median."""
+    rng = np.random.default_rng(4)
+    config, sm, cam, adjust = fixtures.build_band_ba_map(
+        rng, n_kf=64, n_pts=3000, obs_per_pt=4,
+        pose_perturb=0.015, point_perturb=0.02,
+    )
+    prob = mapmaker.build_ba_problem(sm, adjust, config)
+    kw = dict(max_iters=3, solver="band_pcg", band_halfwidth=16,
+              point_block=1024, cg_iters=300, cg_tol=1e-7)
+    res_g = bundle.bundle_adjust(prob, cam, sigma_mode="gather", **kw)
+    res_h = bundle.bundle_adjust(prob, cam, sigma_mode="hist", **kw)
+    rms_g = float(bundle.reprojection_rms(
+        prob, cam, res_g.cam_R, res_g.cam_t, res_g.points))
+    rms_h = float(bundle.reprojection_rms(
+        prob, cam, res_h.cam_R, res_h.cam_t, res_h.points))
+    assert abs(rms_h - rms_g) < 0.05, (rms_h, rms_g)

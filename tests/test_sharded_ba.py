@@ -98,3 +98,32 @@ def test_sharded_pcg_trajectory_scale(rng):
     traj_len = float(jnp.linalg.norm(res1.cam_t[-1] - res1.cam_t[0]))
     diff = float(jnp.abs(res8.cam_t - res1.cam_t).max())
     assert diff < 5e-3 * traj_len, (diff, traj_len)
+
+
+def test_sharded_band_pcg_hist_matches_single_device(rng):
+    """The KITTI-scale sharded configuration — solver='band_pcg' +
+    sigma_mode='hist' (block-band psum once per inner iteration, local CG,
+    [512]-histogram sigma psum) — must reproduce the single-device result
+    of the SAME configuration (the histogram is exactly additive across
+    shards, so parity is bit-level up to reduction order)."""
+    prob, cam, pts_true, poses, _ = _make_problem(
+        rng, n_cams=4, n_pts=120, perturb=0.02
+    )
+    kw = dict(max_iters=8, solver="band_pcg", band_halfwidth=4,
+              sigma_mode="hist", cg_iters=120, cg_tol=1e-7)
+    res1 = bundle.bundle_adjust(prob, cam, point_block=64, **kw)
+    mesh = sharded_ba.make_mesh()
+    res8 = sharded_ba.sharded_bundle_adjust(
+        prob, cam, mesh, point_block=32, **kw
+    )
+    assert int(res8.accepted) >= 1
+    np.testing.assert_allclose(
+        np.asarray(res8.cam_t), np.asarray(res1.cam_t), atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(res8.cam_R), np.asarray(res1.cam_R), atol=1e-4
+    )
+    n = res1.points.shape[0]
+    np.testing.assert_allclose(
+        np.asarray(res8.points[:n]), np.asarray(res1.points), atol=1e-3
+    )

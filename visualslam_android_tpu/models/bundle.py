@@ -279,6 +279,40 @@ def max_pair_offset(meas_kf, meas_valid) -> int:
     return int((hi - lo)[any_valid].max())
 
 
+def _cg_loop(apply_S, prec, b, cg_iters: int, cg_tol: float):
+    """Preconditioned conjugate gradients on S x = b (S SPD via apply_S)."""
+    b_sq = jnp.sum(b * b)
+    x0 = jnp.zeros_like(b)
+    r0 = b
+    z0 = prec(r0)
+    p0 = z0
+    rz0 = jnp.sum(r0 * z0)
+
+    def cond(s):
+        x, r, z, p, rz, i = s
+        return (i < cg_iters) & (jnp.sum(r * r) > cg_tol * cg_tol * b_sq)
+
+    def body(s):
+        x, r, z, p, rz, i = s
+        Ap = apply_S(p)
+        denom = jnp.sum(p * Ap)
+        alpha = rz / jnp.where(denom == 0.0, 1.0, denom)
+        alpha = jnp.where(denom == 0.0, 0.0, alpha)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = prec(r)
+        rz_new = jnp.sum(r * z)
+        beta = rz_new / jnp.where(rz == 0.0, 1.0, rz)
+        beta = jnp.where(rz == 0.0, 0.0, beta)
+        p = z + beta * p
+        return (x, r, z, p, rz_new, i + 1)
+
+    x, _, _, _, _, _ = lax.while_loop(
+        cond, body, (x0, r0, z0, p0, rz0, jnp.asarray(0, jnp.int32))
+    )
+    return x
+
+
 def _pcg_camera_solve(U_star, free, meas_kf, W, Vinv, b, pa,
                       cg_iters: int, cg_tol: float):
     """Matrix-free block-Jacobi-preconditioned CG on the reduced camera
@@ -311,37 +345,48 @@ def _pcg_camera_solve(U_star, free, meas_kf, W, Vinv, b, pa,
         return jnp.einsum("kab,kb->ka", Minv, r)
 
     b = jnp.where(free[:, None], b, 0.0)
-    b_sq = jnp.sum(b * b)
+    return _cg_loop(apply_S, prec, b, cg_iters, cg_tol)
 
-    x0 = jnp.zeros_like(b)
-    r0 = b
-    z0 = prec(r0)
-    p0 = z0
-    rz0 = jnp.sum(r0 * z0)
 
-    def cond(s):
-        x, r, z, p, rz, i = s
-        return (i < cg_iters) & (jnp.sum(r * r) > cg_tol * cg_tol * b_sq)
+def _band_pcg_solve(U_star, S_band, free, band: int, b,
+                    cg_iters: int, cg_tol: float):
+    """Block-Jacobi-preconditioned CG on the REPLICATED block-band reduced
+    system (S_band already psummed). Unlike _pcg_camera_solve no
+    collectives run inside the CG loop — each device iterates on identical
+    local state — and one apply is a banded block matvec, K*(2*band+1)
+    6x6 blocks: ~(6K)^3/3 / (cg_iters*K*(2P+1)*72) ≈ 50x fewer replicated
+    FLOPs than the dense Cholesky it replaces at K=512, P=16. This is the
+    Amdahl term of sharded global BA (every device repeats the camera
+    solve), so shrinking it is what strong scaling needs."""
+    dtype = b.dtype
+    K = U_star.shape[0]
+    eye6 = jnp.eye(6, dtype=dtype)
+    offs = jnp.arange(-band, band + 1)
+    jj = jnp.arange(K)[:, None] + offs[None, :]        # [K, 2P+1]
+    in_rng = (jj >= 0) & (jj < K)
+    jj_c = jnp.clip(jj, 0, K - 1)
+    col_ok = in_rng & free[jj_c]                       # mask non-free cols
+    Sb = jnp.where(col_ok[..., None, None], S_band, 0.0)
 
-    def body(s):
-        x, r, z, p, rz, i = s
-        Ap = apply_S(p)
-        denom = jnp.sum(p * Ap)
-        alpha = rz / jnp.where(denom == 0.0, 1.0, denom)
-        alpha = jnp.where(denom == 0.0, 0.0, alpha)
-        x = x + alpha * p
-        r = r - alpha * Ap
-        z = prec(r)
-        rz_new = jnp.sum(r * z)
-        beta = rz_new / jnp.where(rz == 0.0, 1.0, rz)
-        beta = jnp.where(rz == 0.0, 0.0, beta)
-        p = z + beta * p
-        return (x, r, z, p, rz_new, i + 1)
+    def apply_S(x):
+        xm = jnp.where(free[:, None], x, 0.0)
+        g = xm[jj_c]                                   # [K, 2P+1, 6]
+        corr = jnp.einsum("kdab,kdb->ka", Sb, g)
+        out = jnp.einsum("kab,kb->ka", U_star, xm) + 1e-9 * xm - corr
+        return jnp.where(free[:, None], out, x)
 
-    x, _, _, _, _, _ = lax.while_loop(
-        cond, body, (x0, r0, z0, p0, rz0, jnp.asarray(0, jnp.int32))
-    )
-    return x
+    # Diagonal block of S = U* - S_corr[i, i] — a strictly better
+    # preconditioner than U* alone.
+    Mblk = U_star - Sb[:, band] + 1e-9 * eye6[None]
+    Mblk = jnp.where(free[:, None, None], Mblk,
+                     eye6[None] * jnp.ones((K, 1, 1), dtype))
+    Minv = jnp.linalg.inv(Mblk)
+
+    def prec(r):
+        return jnp.einsum("kab,kb->ka", Minv, r)
+
+    b = jnp.where(free[:, None], b, 0.0)
+    return _cg_loop(apply_S, prec, b, cg_iters, cg_tol)
 
 
 @functools.partial(
@@ -350,7 +395,7 @@ def _pcg_camera_solve(U_star, free, meas_kf, W, Vinv, b, pa,
         "max_iters", "point_block", "axis_name",
         "assembly", "solver", "cg_iters", "cg_tol",
         "update_conv", "min_sigma_sq", "lambda_init", "lambda_good",
-        "lambda_factor_init", "band_halfwidth",
+        "lambda_factor_init", "band_halfwidth", "sigma_mode",
     ),
 )
 def bundle_adjust(
@@ -363,6 +408,7 @@ def bundle_adjust(
     lambda_init: float = 1e-4, lambda_good: float = 0.3,
     lambda_factor_init: float = 2.0,
     band_halfwidth: int = 16,
+    sigma_mode: str = "gather",
 ) -> BAResult:
     """Full Bundle::Compute (Bundle.cc:136-178) as a jitted fixed-shape
     program. max_iters bounds TOTAL inner iterations (the reference's
@@ -383,10 +429,18 @@ def bundle_adjust(
       (block-band form [K, 2*band_halfwidth+1, 6, 6]: psums K/(2P+1)x
       less than the dense correction — the multi-chip scaling path for
       odometry-band maps; requires max_pair_offset <= band_halfwidth);
-    - solver: "chol" (dense Cholesky of the [6K, 6K] reduced system) or
+    - solver: "chol" (dense Cholesky of the [6K, 6K] reduced system),
       "pcg" (matrix-free block-Jacobi CG; never forms S, but pays one
-      [K,6] psum per CG iteration when sharded — latency-bound on a
-      mesh, so prefer assembly="band" + "chol" there when the band fits).
+      [K,6] psum per CG iteration when sharded), or "band_pcg" (psum the
+      block band once per inner iteration, then CG locally on the
+      replicated band with ZERO in-loop collectives — the fastest
+      absolute path for odometry-band maps; requires max_pair_offset <=
+      band_halfwidth like assembly="band");
+    - sigma_mode: "gather" (exact masked median of the globally gathered
+      error table — bit-identical to the single-device result) or "hist"
+      (additive log2-histogram median, one [512] psum instead of an
+      N*O-float all-gather; sigma within a few percent — the KITTI-scale
+      sharded setting).
     """
     dtype = prob.points.dtype
     N, O = prob.meas_kf.shape
@@ -415,12 +469,20 @@ def bundle_adjust(
         # ---- Projection + robust sigma (Bundle.cc:209-227) ----
         pc, err, err_sq, z_bad = _project_all(cam, s.R, s.t, s.pts, prob)
         ok = s.meas_valid & ~z_bad
-        err_sq_g, ok_g = err_sq.reshape(-1), ok.reshape(-1)
-        if axis_name is not None:
-            # The MAD sigma needs the global error distribution.
-            err_sq_g = lax.all_gather(err_sq_g, axis_name).reshape(-1)
-            ok_g = lax.all_gather(ok_g, axis_name).reshape(-1)
-        sigma_sq = me.find_sigma_squared(err_sq_g, ok_g, me.TUKEY)
+        if sigma_mode == "hist":
+            # Additive log-histogram median: one [bins] psum instead of
+            # all-gathering every shard's error table (the largest
+            # collective of the gather path at KITTI scale).
+            sigma_sq = me.find_sigma_squared_hist(
+                err_sq, ok, me.TUKEY, axis_name=axis_name
+            )
+        else:
+            err_sq_g, ok_g = err_sq.reshape(-1), ok.reshape(-1)
+            if axis_name is not None:
+                # The MAD sigma needs the global error distribution.
+                err_sq_g = lax.all_gather(err_sq_g, axis_name).reshape(-1)
+                ok_g = lax.all_gather(ok_g, axis_name).reshape(-1)
+            sigma_sq = me.find_sigma_squared(err_sq_g, ok_g, me.TUKEY)
         sigma_sq = jnp.maximum(sigma_sq, min_sigma_sq)
         sqrt_w = me.square_root_weight(err_sq, sigma_sq, me.TUKEY)
         bad = s.meas_valid & (z_bad | (sqrt_w == 0.0))
@@ -462,7 +524,7 @@ def bundle_adjust(
 
         # One-hot camera incidence for the Schur correction (only the
         # dense-assembly path materializes it).
-        if solver != "pcg" and assembly == "onehot":
+        if solver not in ("pcg", "band_pcg") and assembly == "onehot":
             C = (
                 jax.nn.one_hot(prob.meas_kf, K, dtype=dtype)
                 * (good & ~cam_fixed_m).astype(dtype)[..., None]
@@ -507,6 +569,19 @@ def bundle_adjust(
                 E = jnp.where(free[:, None], eps_a - E_corr, 0.0)
                 cam_upd = _pcg_camera_solve(
                     U_star, free, prob.meas_kf, W, Vinv, E, _pa,
+                    cg_iters, cg_tol,
+                )
+            elif solver == "band_pcg":
+                # Odometry-band path: psum the block band once, then CG
+                # locally with zero in-loop collectives.
+                S_band, E_corr = _schur_blocks_band(
+                    prob.meas_kf, Y, W, eps_b, K, band_halfwidth,
+                    point_block,
+                )
+                S_band, E_corr = _pa(S_band), _pa(E_corr)
+                E = jnp.where(free[:, None], eps_a - E_corr, 0.0)
+                cam_upd = _band_pcg_solve(
+                    U_star, S_band, free, band_halfwidth, E,
                     cg_iters, cg_tol,
                 )
             else:

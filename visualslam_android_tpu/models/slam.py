@@ -692,10 +692,10 @@ class SLAMSystem:
         cfg = self.config
         prob = mapmaker.build_ba_problem(self.slam_map, adjust_mask, cfg)
         # Above dense_solver_max_cams camera slots, switch to a
-        # KITTI-scale path: band Schur assembly + dense local solve when
-        # every co-observing pair fits the band (odometry maps — the
-        # mesh-friendly choice, one small psum per inner iteration),
-        # otherwise matrix-free PCG.
+        # KITTI-scale path: band Schur assembly + local CG on the block
+        # band when every co-observing pair fits the band (odometry maps
+        # — the mesh-friendly choice, one small psum per inner iteration
+        # and zero in-loop collectives), otherwise matrix-free PCG.
         bc = cfg.bundle
         large = prob.cam_R.shape[0] > bc.dense_solver_max_cams
         if large:
@@ -704,7 +704,7 @@ class SLAMSystem:
             )
             banded = offset <= bc.band_halfwidth
             assembly = "band" if banded else "scatter"
-            solver = "chol" if banded else "pcg"
+            solver = "band_pcg" if banded else "pcg"
         else:
             assembly, solver = "onehot", "chol"
         res = bundle_mod.bundle_adjust(

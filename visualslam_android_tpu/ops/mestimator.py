@@ -53,6 +53,68 @@ def find_sigma_squared(err_sq, mask=None, estimator=TUKEY):
     return sigma * sigma
 
 
+def find_sigma_squared_hist(err_sq, mask=None, estimator=TUKEY,
+                            axis_name=None, bins=512,
+                            log2_lo=-30.0, log2_hi=24.0):
+    """MAD sigma^2 from a log2-spaced HISTOGRAM of the squared errors
+    instead of an exact masked median — the distributed form.
+
+    `find_sigma_squared` needs the full error distribution; under a mesh
+    axis that costs an all_gather of every shard's error table (N*O floats
+    + masks — megabytes at KITTI scale, the single largest collective in
+    sharded BA; see parallel/sharded_ba.comm_bytes_per_lm_step). The
+    histogram is exactly additive across shards, so one psum of `bins`
+    f32 counts (2 KB) replaces that gather. The median is interpolated
+    uniformly-in-log within its bin: resolution is (log2_hi-log2_lo)/bins
+    octaves (~0.105 at the defaults, i.e. sigma within a few percent),
+    far inside the slack of the MAD estimate itself, and the min-sigma
+    clamp (jni/Bundle.cc:224) bounds any downstream effect.
+    """
+    from jax import lax
+
+    if mask is None:
+        mask = jnp.ones(err_sq.shape, bool)
+    e = err_sq.reshape(-1)
+    m = mask.reshape(-1)
+    dtype = e.dtype
+
+    if estimator == LEAST_SQUARES:
+        n = jnp.sum(m.astype(dtype))
+        s = jnp.sum(jnp.where(m, e, 0.0))
+        if axis_name is not None:
+            n = lax.psum(n, axis_name)
+            s = lax.psum(s, axis_name)
+        return jnp.where(n > 0, s / jnp.maximum(n, 1.0), 0.0)
+
+    scale = bins / (log2_hi - log2_lo)
+    l2 = jnp.log2(jnp.maximum(e, jnp.asarray(2.0, dtype) ** log2_lo))
+    idx = jnp.clip(
+        jnp.floor((l2 - log2_lo) * scale).astype(jnp.int32), 0, bins - 1
+    )
+    hist = jnp.zeros(bins, dtype).at[idx].add(m.astype(dtype))
+    if axis_name is not None:
+        hist = lax.psum(hist, axis_name)
+
+    n = jnp.sum(hist)
+    # Reference convention: element [n/2] of the sorted values
+    # (MEstimator.h:73-74) == rank floor(n/2) zero-based.
+    target = jnp.floor(n / 2.0)
+    cum = jnp.cumsum(hist)
+    b = jnp.argmax(cum > target)  # first bin whose cum count passes rank
+    cum_before = cum[b] - hist[b]
+    frac = jnp.clip(
+        (target + 0.5 - cum_before) / jnp.maximum(hist[b], 1.0), 0.0, 1.0
+    )
+    med_log2 = log2_lo + (b.astype(dtype) + frac) / scale
+    med = jnp.asarray(2.0, dtype) ** med_log2
+    med = jnp.where(n > 0, med, 0.0)
+
+    nf = jnp.maximum(n, 4.0)
+    sigma = 1.4826 * (1.0 + 5.0 / (2.0 * nf - 6.0)) * jnp.sqrt(med)
+    sigma = _SIGMA_MULT[estimator] * sigma
+    return sigma * sigma
+
+
 def square_root_weight(err_sq, sigma_sq, estimator=TUKEY):
     if estimator == TUKEY:
         # MEstimator.h:48-55

@@ -70,7 +70,8 @@ def pad_problem(prob: BAProblem, multiple: int) -> BAProblem:
 
 def comm_bytes_per_lm_step(K, N_global, O, solver="pcg", cg_iters=250,
                            inner_iters=1, dtype_bytes=4,
-                           assembly="scatter", band_halfwidth=16):
+                           assembly="scatter", band_halfwidth=16,
+                           sigma_mode="gather", hist_bins=512):
     """Logical all-reduce/all-gather payload per LM outer step of
     `bundle_adjust(axis_name=...)` — the communication the sharding
     design puts on ICI, itemized so strong-scaling projections can be made
@@ -82,24 +83,30 @@ def comm_bytes_per_lm_step(K, N_global, O, solver="pcg", cg_iters=250,
     on-the-wire bytes at mesh size D.
 
     Breakdown (models/bundle.py):
-    - sigma_gather: all_gather of the global error table for the MAD
-      sigma (err_sq f32 + ok bool per measurement);
+    - sigma_gather: sigma_mode='gather' -> all_gather of the global error
+      table for the MAD sigma (err_sq f32 + ok bool per measurement, the
+      largest collective at KITTI scale); sigma_mode='hist' -> one
+      [hist_bins] f32 histogram psum;
     - u_eps: psum of the camera accumulators U [K,6,6] + eps_a [K,6];
     - solve: solver='pcg' -> E_corr [K,6] psum + one [K,6] psum per CG
-      iteration per inner lambda iteration; solver='chol' with
-      assembly='band' -> S_band [K, 2P+1, 6, 6] + E_corr psums per inner
-      iteration (the mesh-friendly path); assembly='scatter'/'onehot' ->
-      the dense S_corr [K,6,K,6] + E_corr psums;
+      iteration per inner lambda iteration; solver='band_pcg' or 'chol'
+      with assembly='band' -> S_band [K, 2P+1, 6, 6] + E_corr psums per
+      inner iteration (CG/solve then run locally with no collectives);
+      assembly='scatter'/'onehot' -> the dense S_corr [K,6,K,6] + E_corr
+      psums;
     - scalars: objective/update-norm psums (negligible, counted anyway).
     """
     b = {}
-    b["sigma_gather"] = N_global * O * (dtype_bytes + 1)
+    if sigma_mode == "hist":
+        b["sigma_gather"] = hist_bins * dtype_bytes
+    else:
+        b["sigma_gather"] = N_global * O * (dtype_bytes + 1)
     b["u_eps"] = K * 36 * dtype_bytes + K * 6 * dtype_bytes
     if solver == "pcg":
         b["solve"] = inner_iters * (
             K * 6 * dtype_bytes * (1 + cg_iters)
         )
-    elif assembly == "band":
+    elif solver == "band_pcg" or assembly == "band":
         b["solve"] = inner_iters * (
             K * (2 * band_halfwidth + 1) * 36 * dtype_bytes
             + K * 6 * dtype_bytes
