@@ -21,7 +21,7 @@ import sys
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run(cmd, env=None):
+def run(cmd, env=None, parse_json=False):
     print("+", " ".join(cmd), flush=True)
     e = dict(os.environ)
     if env:
@@ -32,6 +32,8 @@ def run(cmd, env=None):
     if out.returncode != 0:
         sys.stderr.write(out.stdout[-4000:] + out.stderr[-4000:])
         raise SystemExit(f"command failed: {cmd}")
+    if not parse_json:
+        return None
     # run_slam prints the JSON report as the last stdout line.
     last = [ln for ln in out.stdout.strip().splitlines() if ln.strip()][-1]
     return json.loads(last)
@@ -60,7 +62,7 @@ def main():
                "--frames", str(args.frames), "--json"]
         if args.platform:
             cmd += ["--platform", args.platform]
-        reports[variant] = run(cmd)
+        reports[variant] = run(cmd, parse_json=True)
 
     out = {
         "protocol": (

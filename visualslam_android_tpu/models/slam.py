@@ -113,6 +113,7 @@ class SLAMSystem:
         self._trail_init_pos = None
         self._trail_cur_pos = None
         self._trail_valid = None
+        self._trail_count = 0
         self._prev_frame = None
         # Mapping-stage state.
         N = cfg.tracker.max_map_points
@@ -152,27 +153,27 @@ class SLAMSystem:
 
         if self.phase == PHASE_TRACKING:
             with self.timer.stage("track"):
-                out, message, added_kf = self._track(frame, sbi_cur)
+                out, message, added_kf, host = self._track(frame, sbi_cur)
                 self.timer.sync(self.R, self.t)
-            quality = int(
-                tracker_mod.assess_tracking_quality(
-                    out.attempted_per_level, out.found_per_level,
-                    cfg.tracker.quality_good, cfg.tracker.quality_lost,
-                )
-            ) if out is not None else tracker_mod.QUALITY_BAD
-            n_found = int(out.found.sum()) if out is not None else 0
-            did_coarse = bool(out.did_coarse) if out is not None else False
+            if host is not None:
+                quality = host["quality"]
+                n_found = host["n_found"]
+                did_coarse = host["did_coarse"]
+            else:  # relocalization attempt failed this frame
+                quality = tracker_mod.QUALITY_BAD
+                n_found = 0
+                did_coarse = False
             # One unit of mapping work per frame (the restored MapMaker
             # run() loop).
             with self.timer.stage("mapmaker"):
-                self._mapmaker_step()
+                map_changed = self._mapmaker_step()
         else:
             with self.timer.stage("bootstrap"):
                 self._bootstrap(frame, sbi_cur, img)
+            host = None
+            map_changed = True
             quality = tracker_mod.QUALITY_GOOD
-            n_found = int(self._trail_valid.sum()) if (
-                self._trail_valid is not None
-            ) else 0
+            n_found = self._trail_count
             did_coarse = False
             message = {
                 PHASE_NOT_STARTED: "Touch to start map initialization",
@@ -185,13 +186,26 @@ class SLAMSystem:
         self._prev_frame = frame
         if self.reset_requested:
             self.reset()
+        # Pose and counts come from the batched _track transfer when the
+        # map was not touched since; one extra [2] pull otherwise.
+        if host is not None and not map_changed:
+            pose_R, pose_t = host["pose_R"], host["pose_t"]
+            n_points, n_keyframes = host["n_points"], host["n_keyframes"]
+        else:
+            pose_R = np.asarray(self.R)
+            pose_t = np.asarray(self.t)
+            counts = np.asarray(jnp.stack([
+                self.slam_map.points.count(),
+                self.slam_map.keyframes.count(),
+            ]))
+            n_points, n_keyframes = int(counts[0]), int(counts[1])
         return FrameResult(
-            pose_R=np.asarray(self.R),
-            pose_t=np.asarray(self.t),
+            pose_R=pose_R,
+            pose_t=pose_t,
             quality=quality,
             n_found=n_found,
-            n_points=int(self.slam_map.points.count()),
-            n_keyframes=int(self.slam_map.keyframes.count()),
+            n_points=n_points,
+            n_keyframes=n_keyframes,
             phase=self.phase,
             lost=self.lost_frames >= cfg.tracker.max_lost_frames,
             did_coarse=did_coarse,
@@ -212,7 +226,7 @@ class SLAMSystem:
                 cfg.mapmaker.reloc_max_score,
             )
             if not bool(res.success):
-                return None, "Lost; attempting relocalization", False
+                return None, "Lost; attempting relocalization", False, None
             self.R, self.t = res.R, res.t
             self.velocity = jnp.zeros(6, jnp.float32)
             recovered = True
@@ -245,16 +259,15 @@ class SLAMSystem:
         self.R, self.t = out.R, out.t
 
         # Motion model update (skipped right after recovery: velocity 0).
+        f32 = jnp.float32
+        depth_new = jnp.where(
+            out.depth_stats_valid, out.scene_depth_mean,
+            jnp.asarray(self.scene_depth_mean, f32),
+        )
         self.velocity, mag, msd = tracker_mod.update_motion_model(
-            self.R, self.t, R_start, t_start, self.velocity,
-            out.scene_depth_mean if bool(out.depth_stats_valid)
-            else jnp.asarray(self.scene_depth_mean),
+            self.R, self.t, R_start, t_start, self.velocity, depth_new,
             tc.motion_decay,
         )
-        self.vel_mag = float(mag)
-        self.vel_msd_mag = float(msd)
-        if bool(out.depth_stats_valid):
-            self.scene_depth_mean = float(out.scene_depth_mean)
 
         # Inlier/outlier bookkeeping for HandleBadPoints.
         pts = self.slam_map.points
@@ -264,21 +277,52 @@ class SLAMSystem:
         )
         self.slam_map = self.slam_map._replace(points=pts)
 
-        quality = int(
-            tracker_mod.assess_tracking_quality(
-                out.attempted_per_level, out.found_per_level,
-                tc.quality_good, tc.quality_lost,
-            )
+        quality_dev = tracker_mod.assess_tracking_quality(
+            out.attempted_per_level, out.found_per_level,
+            tc.quality_good, tc.quality_lost,
         )
-        if quality == tracker_mod.QUALITY_DODGY:
-            if bool(
-                mapmaker.dist_to_nearest_excessive(
-                    self.slam_map.keyframes, self.R, self.t,
-                    cfg.mapmaker.wiggle_scale,
-                    cfg.mapmaker.kf_distance_factor,
-                )
-            ):
-                quality = tracker_mod.QUALITY_BAD
+        dist_exc_dev = mapmaker.dist_to_nearest_excessive(
+            self.slam_map.keyframes, self.R, self.t,
+            cfg.mapmaker.wiggle_scale, cfg.mapmaker.kf_distance_factor,
+        )
+        need_kf_dev = mapmaker.need_new_keyframe(
+            self.slam_map.keyframes, self.R, self.t, depth_new,
+            jnp.asarray(self.wiggle_depth_norm, f32),
+        )
+
+        # ONE host transfer for every per-frame scalar. Each separate
+        # int()/bool()/float() is a device round-trip; over a remote-TPU
+        # link those round-trips, not compute, dominated the frame loop.
+        n_lvl = out.found_per_level.shape[0]
+        stats = np.asarray(jnp.concatenate([
+            jnp.stack([
+                quality_dev.astype(f32), dist_exc_dev.astype(f32),
+                need_kf_dev.astype(f32),
+                out.did_coarse.astype(f32), depth_new, mag, msd,
+                jnp.sum(out.found).astype(f32),
+                self.slam_map.points.count().astype(f32),
+                self.slam_map.keyframes.count().astype(f32),
+            ]),
+            out.found_per_level.astype(f32),
+            self.R.reshape(-1), self.t,
+        ]))
+        quality = int(stats[0])
+        self.vel_mag = float(stats[5])
+        self.vel_msd_mag = float(stats[6])
+        self.scene_depth_mean = float(stats[4])
+        found_l = [int(x) for x in stats[10:10 + n_lvl]]
+        host = dict(
+            quality=quality, did_coarse=bool(stats[3]),
+            n_found=int(stats[7]),
+            n_points=int(stats[8]), n_keyframes=int(stats[9]),
+            pose_R=stats[10 + n_lvl:19 + n_lvl].reshape(3, 3).copy(),
+            pose_t=stats[19 + n_lvl:22 + n_lvl].copy(),
+        )
+
+        # Distance-to-map sanity demotion (Tracker.cc:867-872).
+        if quality == tracker_mod.QUALITY_DODGY and bool(stats[1]):
+            quality = tracker_mod.QUALITY_BAD
+            host["quality"] = quality
         if quality == tracker_mod.QUALITY_BAD:
             self.lost_frames += 1
         else:
@@ -293,13 +337,7 @@ class SLAMSystem:
             and self.frame_idx - self.last_kf_frame
             > tc.min_frames_between_kfs
             and len(self.kf_queue) < tc.max_kf_queue
-            and bool(
-                mapmaker.need_new_keyframe(
-                    self.slam_map.keyframes, self.R, self.t,
-                    jnp.asarray(self.scene_depth_mean),
-                    jnp.asarray(self.wiggle_depth_norm),
-                )
-            )
+            and bool(stats[2])
         ):
             self.kf_queue.append(
                 dict(
@@ -311,14 +349,13 @@ class SLAMSystem:
             self.last_kf_frame = self.frame_idx
             added = True
 
-        found_l = [int(x) for x in out.found_per_level]
         msg = (
             f"Tracking Map, quality {['BAD','DODGY','GOOD'][quality]}. "
-            f"Found: {found_l} Map: {int(self.slam_map.points.count())}P, "
-            f"{int(self.slam_map.keyframes.count())}KF"
+            f"Found: {found_l} Map: {host['n_points']}P, "
+            f"{host['n_keyframes']}KF"
             + (" Adding key-frame." if added else "")
         )
-        return out, msg, added
+        return out, msg, added, host
 
     # ---- bootstrap (TrackForInitialMap) ------------------------------
 
@@ -362,6 +399,7 @@ class SLAMSystem:
         self._trail_init_pos = pos
         self._trail_cur_pos = pos
         self._trail_valid = valid[:n]
+        self._trail_count = int(self._trail_valid.sum())
 
     def _trail_advance(self, frame):
         """TrailTracking_Advance (Tracker.cc:294-346): forward MiniPatch
@@ -395,7 +433,8 @@ class SLAMSystem:
             good[:, None], fwd.pos, self._trail_cur_pos
         )
         self._trail_valid = good
-        return int(good.sum())
+        self._trail_count = int(good.sum())
+        return self._trail_count
 
     def _init_from_stereo(self, frame_second) -> bool:
         """InitFromStereo (MapMaker.cc:204-376), synchronous as in the
@@ -530,12 +569,17 @@ class SLAMSystem:
             if native_runtime.available()
             else native_runtime.scheduler_next_py
         )
+        # One batched pull for both queue flags (two separate bool()
+        # casts would be two device round-trips per frame).
+        flags = np.asarray(jnp.stack([
+            jnp.any(self.failure_mask), jnp.any(self.new_points)
+        ]))
         return sched(
             len(self.kf_queue),
             self.recent_converged,
             self.full_converged,
-            bool(jnp.any(self.failure_mask)),
-            bool(jnp.any(self.new_points)),
+            bool(flags[0]),
+            bool(flags[1]),
             self._mm_rng.integers(20) == 0,
         )
 
@@ -554,7 +598,10 @@ class SLAMSystem:
             self._run_global_ba(max_iters=6)
         elif task == native_runtime.TASK_REFIND_FAILURES:
             self._refind_from_failure_queue()
-        self._handle_bad_points()
+        points_trashed = self._handle_bad_points()
+        # Whether point/keyframe counts may have moved this step (lets the
+        # caller reuse the tracking step's batched count transfer).
+        return task != native_runtime.TASK_NONE or points_trashed
 
     def _free_kf_slot(self) -> Optional[int]:
         valid = np.asarray(self.slam_map.keyframes.valid)
@@ -656,12 +703,14 @@ class SLAMSystem:
         self.failure_mask = jnp.zeros_like(self.failure_mask)
         self._refind_batched(pending.T & self.slam_map.points.valid[None])
 
-    def _handle_bad_points(self):
+    def _handle_bad_points(self) -> bool:
         self.slam_map, newly_bad = mapmaker.handle_bad_points(
             self.slam_map, self.config
         )
-        if bool(jnp.any(newly_bad)):
+        trashed = bool(jnp.any(newly_bad))
+        if trashed:
             self.new_points = self.new_points & ~newly_bad
+        return trashed
 
     def _run_local_ba(self):
         """BundleAdjustRecent (MapMaker.cc:801-851)."""

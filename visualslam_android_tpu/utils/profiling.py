@@ -43,10 +43,14 @@ class StageTimer:
                 time.perf_counter() - t0
             )
 
-    @staticmethod
-    def sync(*outputs):
+    def sync(self, *outputs):
         """Block until device work producing `outputs` is done, so the
-        enclosing stage() measures compute, not dispatch."""
+        enclosing stage() measures compute, not dispatch. No-op while
+        disabled — a block_until_ready per stage would serialize the
+        frame loop against device (or remote-tunnel) latency for no
+        benefit when nothing is being timed."""
+        if not self.enabled:
+            return
         import jax
 
         for out in outputs:
