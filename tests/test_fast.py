@@ -134,3 +134,23 @@ def test_pallas_fast_matches_dense(rng):
         np.testing.assert_allclose(
             np.asarray(s0)[3:-3, 3:-3], np.asarray(s1)[3:-3, 3:-3]
         )
+
+
+def test_pallas_detect_vmap_matches_single(rng):
+    """vmapping the Pallas detector (multi-stream replicated tracking
+    vmaps the whole frame front-end) must produce per-image results
+    identical to unbatched calls — Mosaic can't lower a vmap-injected
+    batch dim directly, so the custom batching rule maps the kernel."""
+    import jax
+
+    from visualslam_android_tpu.ops import fast_pallas
+
+    img0 = jnp.asarray(rng.uniform(0, 255, (96, 128)).astype(np.float32))
+    img1 = img0[::-1]
+    mB, sB = jax.vmap(
+        lambda x: fast_pallas.detect(x, 12, 10, interpret=True)
+    )(jnp.stack([img0, img1]))
+    for k, img in enumerate((img0, img1)):
+        m, s = fast_pallas.detect(img, 12, 10, interpret=True)
+        np.testing.assert_array_equal(np.asarray(mB[k]), np.asarray(m))
+        np.testing.assert_allclose(np.asarray(sB[k]), np.asarray(s))

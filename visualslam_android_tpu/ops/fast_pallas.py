@@ -130,16 +130,8 @@ def _fast_strip_kernel(img_hbm, mask_ref, score_ref, scratch, sem, *,
         score_ref[:] = score[2 * HALO:2 * HALO + STRIP]
 
 
-@functools.partial(
-    jax.jit, static_argnames=("threshold", "arc_length", "interpret")
-)
-def detect(img, threshold: int, arc_length: int = 10,
-           interpret: bool = False):
-    """Pallas FAST detector; same contract as ops.fast.detect.
-
-    interpret=True runs the kernel in the Pallas interpreter (for CPU
-    tests); on TPU leave it False.
-    """
+def _detect_single(img, threshold: int, arc_length: int,
+                   interpret: bool):
     H, W = img.shape
     n_strips = -(-max(H, STRIP + 2 * HALO) // STRIP)
     Hp = n_strips * STRIP
@@ -175,3 +167,41 @@ def detect(img, threshold: int, arc_length: int = 10,
         interpret=interpret,
     )(imgp)
     return mask[:H, :W], score[:H, :W]
+
+
+@functools.lru_cache(maxsize=None)
+def _detect_vmappable(threshold: int, arc_length: int, interpret: bool):
+    """Per-static-config detector with an explicit vmap rule. Mosaic
+    cannot lower a batch dimension added to the strip grid by vmap (the
+    HBM block would need a non-trivial index_map), so batching — e.g.
+    multi-stream replicated tracking vmapping the whole frame front-end —
+    is defined as a sequential lax.map over the batch: each stream still
+    runs the full strip-mined kernel."""
+
+    @jax.custom_batching.custom_vmap
+    def f(img):
+        return _detect_single(img, threshold, arc_length, interpret)
+
+    @f.def_vmap
+    def _rule(axis_size, in_batched, img):  # noqa: ANN001
+        del axis_size
+        (img_batched,) = in_batched
+        assert img_batched, "custom_vmap rule without a batched input"
+        out = jax.lax.map(f, img)
+        return out, (True, True)
+
+    return f
+
+
+@functools.partial(
+    jax.jit, static_argnames=("threshold", "arc_length", "interpret")
+)
+def detect(img, threshold: int, arc_length: int = 10,
+           interpret: bool = False):
+    """Pallas FAST detector; same contract as ops.fast.detect.
+
+    interpret=True runs the kernel in the Pallas interpreter (for CPU
+    tests); on TPU leave it False. vmap-safe: batched calls map the
+    kernel over the leading axis (see _detect_vmappable).
+    """
+    return _detect_vmappable(int(threshold), arc_length, interpret)(img)
