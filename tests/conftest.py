@@ -19,14 +19,12 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
-# Persistent compilation cache: XLA:CPU compiles are slow on this box
-# (the AOT kernel set mismatches the host ISA, so everything JITs);
-# cached executables make repeat suite runs minutes instead of tens.
-jax.config.update(
-    "jax_compilation_cache_dir",
-    os.path.join(os.path.dirname(os.path.dirname(__file__)), ".jax_cache"),
-)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# NOTE: do NOT enable the persistent compilation cache here. On this host
+# XLA:CPU executables sometimes SEGFAULT when deserialized from the cache
+# (reproducible in compilation_cache.get_executable_and_time — the
+# AOT machine-feature mismatch the cpu_aot_loader warns about). The cache
+# stays enabled for the TPU bench (bench.py), where reload is reliable
+# and saves a ~20-minute compile.
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

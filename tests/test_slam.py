@@ -208,3 +208,20 @@ def test_post_recovery_ate_bounded(reloc_run):
     assert np.median(err) < 0.25 * max(span, 0.1), (
         f"post-recovery error {np.median(err):.4f} vs span {span:.3f}"
     )
+
+
+def test_corrupt_ba_requests_map_reset():
+    """Tier-3 failure recovery (MapMaker.cc:906-915): a bundle adjustment
+    that produces non-finite poses/points must request a full map reset,
+    resolved on the next scheduler flag pull (the deferred-convergence
+    path) and performed by track_frame."""
+    sys_ = slam.SLAMSystem(_config(), seed=0)
+    # Simulate last frame's BA having corrupted the map.
+    sys_._pending_ba = (
+        "recent", jnp.asarray(False), jnp.asarray(False)
+    )
+    sys_._next_mapmaker_task()
+    assert sys_.reset_requested
+    # The synchronous (bootstrap) path reacts immediately.
+    sys_.reset()
+    assert not sys_.reset_requested

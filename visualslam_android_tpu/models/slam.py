@@ -126,6 +126,13 @@ class SLAMSystem:
         self.full_converged = True
         self.reset_requested = False
         self._mm_rng = np.random.default_rng(1234)
+        # Deferred BA convergence (kind, device scalar) — resolved on the
+        # next frame's scheduler flag pull instead of blocking the frame.
+        self._pending_ba = None
+        # Host-side keyframe bookkeeping (keyframes are never deleted, so
+        # count/newest need no device readbacks).
+        self._kf_count_host = 0
+        self._newest_kf_host = -1
 
     def on_touch(self):
         """Touch = PTAM spacebar (jni_part.cpp:49-51)."""
@@ -521,6 +528,8 @@ class SLAMSystem:
 
         # 5x BundleAdjustAll (MapMaker.cc:346-347).
         self.slam_map = sm
+        self._kf_count_host = 2
+        self._newest_kf_host = 1
         for _ in range(5):
             self._run_global_ba(max_iters=10)
         self.slam_map = kf_mod.refresh_scene_depth(self.slam_map, 0)
@@ -569,11 +578,31 @@ class SLAMSystem:
             if native_runtime.available()
             else native_runtime.scheduler_next_py
         )
-        # One batched pull for both queue flags (two separate bool()
-        # casts would be two device round-trips per frame).
+        # One batched pull for the queue flags AND last frame's deferred
+        # BA convergence (separate bool() casts would each be a device
+        # round-trip per frame).
+        vals = [jnp.any(self.failure_mask), jnp.any(self.new_points)]
+        pend = self._pending_ba
+        if pend is not None:
+            vals.extend([pend[1], pend[2]])
         flags = np.asarray(jnp.stack([
-            jnp.any(self.failure_mask), jnp.any(self.new_points)
+            jnp.asarray(v, jnp.bool_) for v in vals
         ]))
+        if pend is not None:
+            self._pending_ba = None
+            conv = bool(flags[2])
+            if not bool(flags[3]):
+                # Corrupt adjustment: request the full map reset
+                # (MapMaker.cc:906-915); track_frame performs it.
+                self.reset_requested = True
+            elif pend[0] == "recent":
+                self.recent_converged = conv
+                if not conv:
+                    self.full_converged = False
+            else:  # "full"
+                self.full_converged = conv
+                if conv:
+                    self.recent_converged = True
         return sched(
             len(self.kf_queue),
             self.recent_converged,
@@ -595,7 +624,7 @@ class SLAMSystem:
         elif task == native_runtime.TASK_REFIND_NEWLY:
             self._refind_newly_made()
         elif task == native_runtime.TASK_BA_ALL:
-            self._run_global_ba(max_iters=6)
+            self._run_global_ba(max_iters=6, sync=False)
         elif task == native_runtime.TASK_REFIND_FAILURES:
             self._refind_from_failure_queue()
         points_trashed = self._handle_bad_points()
@@ -621,6 +650,8 @@ class SLAMSystem:
             entry["R"], entry["t"], fixed=False,
         )
         self.slam_map = self.slam_map._replace(keyframes=kfs)
+        self._kf_count_host += 1
+        self._newest_kf_host = slot
         # Register the tracker's measurements (SRC_TRACKER).
         meas = mapmaker.add_measurements_batch(
             self.slam_map.meas, entry["found"], slot, entry["found_pos"],
@@ -713,29 +744,39 @@ class SLAMSystem:
         return trashed
 
     def _run_local_ba(self):
-        """BundleAdjustRecent (MapMaker.cc:801-851)."""
+        """BundleAdjustRecent (MapMaker.cc:801-851). Convergence is read
+        back one frame later (_pending_ba) — the reference's mapmaker
+        thread is equally asynchronous relative to the tracker."""
         cfg = self.config
-        kfs = self.slam_map.keyframes
-        n_kf = int(kfs.count())
-        if n_kf < cfg.mapmaker.local_ba_min_kfs:
+        if self._kf_count_host < cfg.mapmaker.local_ba_min_kfs:
             self.recent_converged = True
             return
-        valid_idx = np.nonzero(np.asarray(kfs.valid))[0]
-        newest = int(valid_idx[-1])
-        adjust = mapmaker.local_ba_adjust_mask(self.slam_map, newest, cfg)
-        converged = self._run_ba(adjust, max_iters=8)
-        self.recent_converged = converged
-        if not converged:
-            self.full_converged = False
+        adjust = mapmaker.local_ba_adjust_mask(
+            self.slam_map, self._newest_kf_host, cfg
+        )
+        conv, ok = self._run_ba(adjust, max_iters=8)
+        self._pending_ba = ("recent", conv, ok)
 
-    def _run_global_ba(self, max_iters=10) -> bool:
+    def _run_global_ba(self, max_iters=10, sync=True) -> bool:
+        """BundleAdjustAll. sync=True (bootstrap) blocks on the result,
+        matching the reference's synchronous InitFromStereo BA; the
+        scheduler path passes sync=False and resolves convergence on the
+        next frame's flag pull."""
         kfs = self.slam_map.keyframes
         adjust = kfs.valid & ~kfs.fixed
-        converged = self._run_ba(adjust, max_iters=max_iters)
-        self.full_converged = converged
-        if converged:
-            self.recent_converged = True
-        return converged
+        conv, okd = self._run_ba(adjust, max_iters=max_iters)
+        if sync:
+            pulled = np.asarray(jnp.stack([conv, okd]))
+            if not bool(pulled[1]):
+                self.reset_requested = True
+                return False
+            converged = bool(pulled[0])
+            self.full_converged = converged
+            if converged:
+                self.recent_converged = True
+            return converged
+        self._pending_ba = ("full", conv, okd)
+        return False
 
     def _run_ba(self, adjust_mask, max_iters) -> bool:
         cfg = self.config
@@ -777,7 +818,15 @@ class SLAMSystem:
         never_nk = _obs_mask_to_point_kf(never, res, prob, K)
         self.failure_mask = self.failure_mask | retry_nk
         self.never_retry = self.never_retry | never_nk
-        return bool(res.converged)
+        # DEVICE scalars — callers that can tolerate a one-frame lag queue
+        # them as _pending_ba instead of blocking on the transfer. `ok`
+        # False means the adjustment corrupted the map (non-finite pose or
+        # point) — the reference's negative-return reset tier
+        # (MapMaker.cc:906-915).
+        ok = jnp.all(jnp.isfinite(res.cam_t)) & jnp.all(
+            jnp.isfinite(res.points)
+        )
+        return res.converged, ok
 
 
 def _obs_mask_to_point_kf(obs_mask, res, prob, K):

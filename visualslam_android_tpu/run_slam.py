@@ -59,12 +59,16 @@ def main(argv=None):
 
     if args.platform != "default":
         jax.config.update("jax_platforms", args.platform)
-    jax.config.update(
-        "jax_compilation_cache_dir",
-        os.path.join(os.path.dirname(os.path.dirname(__file__)),
-                     ".jax_cache"),
-    )
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    if args.platform != "cpu":
+        # XLA:CPU cache entries can SEGFAULT on reload on hosts whose ISA
+        # mismatches the AOT kernel set (see tests/conftest.py), so the
+        # persistent cache is TPU-only.
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                         ".jax_cache"),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from visualslam_android_tpu.config import (
         MapMakerConfig,
