@@ -168,7 +168,13 @@ def _tracking_fps():
 
 def _full_slam_fps():
     """Tracking + mapping scheduler + keyframe adds on a 60-frame synthetic
-    sequence; timed on the second (warm) pass after a cold compile pass."""
+    sequence; timed on the second (warm) pass after a cold compile pass.
+
+    Runs the SLAMSystem in pipelined mode (results lag one frame; zero
+    blocking device pulls in steady-state tracking) — the deployment
+    configuration for a host driving the chip over a link, and the
+    honest counterpart of the reference's tracker thread, which also
+    never blocks on its mapmaker."""
     from visualslam_android_tpu.config import (
         MapMakerConfig,
         SLAMConfig,
@@ -192,14 +198,19 @@ def _full_slam_fps():
     )
 
     def run():
-        sys_ = slam.SLAMSystem(config, seed=0)
+        sys_ = slam.SLAMSystem(config, seed=0, pipelined=True)
         n_tracked = 0
+        results = []
         for k, img in enumerate(images):
             if k in (0, 6):
                 sys_.on_touch()
-            res = sys_.track_frame(img)
-            if res.phase == slam.PHASE_TRACKING and not res.lost:
-                n_tracked += 1
+            results.append(sys_.track_frame(img))
+        results.extend(sys_.flush())
+        n_tracked = sum(
+            1 for r in results
+            if r.frame_id >= 0 and r.phase == slam.PHASE_TRACKING
+            and not r.lost
+        )
         return n_tracked, int(sys_.slam_map.keyframes.count())
 
     run()  # cold pass: compiles every stage

@@ -61,7 +61,7 @@ def test_min_tukey_sigma_knob(rng):
 
 
 def test_bundle_knobs_threaded_from_slam_config():
-    """SLAMSystem._run_ba must pass BundleConfig through (keyword parity:
+    """frame_step.ba_round must pass BundleConfig through (keyword parity:
     a typo'd kwarg would raise at trace time)."""
     cfg = SLAMConfig()
     bc = dataclasses.replace(

@@ -154,3 +154,23 @@ def test_pallas_detect_vmap_matches_single(rng):
         m, s = fast_pallas.detect(img, 12, 10, interpret=True)
         np.testing.assert_array_equal(np.asarray(mB[k]), np.asarray(m))
         np.testing.assert_allclose(np.asarray(sB[k]), np.asarray(s))
+
+
+def test_pallas_detect_vmap_unbatched_image(rng):
+    """vmapping over ANOTHER argument with a shared (unbatched) image must
+    broadcast the single detection instead of asserting (ADVICE r2)."""
+    import jax
+
+    from visualslam_android_tpu.ops import fast_pallas
+
+    img = jnp.asarray(rng.uniform(0, 255, (96, 128)).astype(np.float32))
+
+    def f(img, bias):
+        m, s = fast_pallas.detect(img, 12, 10, interpret=True)
+        return m, s + bias
+
+    mB, sB = jax.vmap(f, in_axes=(None, 0))(img, jnp.arange(3.0))
+    m, s = fast_pallas.detect(img, 12, 10, interpret=True)
+    for k in range(3):
+        np.testing.assert_array_equal(np.asarray(mB[k]), np.asarray(m))
+        np.testing.assert_allclose(np.asarray(sB[k]), np.asarray(s) + k)

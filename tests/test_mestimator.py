@@ -119,3 +119,17 @@ def test_hist_sigma_least_squares(rng):
         )
     )
     np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_hist_sigma_bf16_counts_dont_quantize(rng):
+    """Histogram counts must accumulate in f32 even for bf16 inputs:
+    above 2048 a bf16 count quantizes (2048+1 == 2048) and the median
+    rank silently corrupts (ADVICE r2)."""
+    err_sq = rng.exponential(size=16384).astype(np.float32)
+    exact = float(me.find_sigma_squared(jnp.asarray(err_sq)))
+    hist_bf16 = float(
+        me.find_sigma_squared_hist(jnp.asarray(err_sq, jnp.bfloat16))
+    )
+    # bf16 values themselves carry ~3 decimal digits; allow their
+    # quantization plus the histogram bin-interpolation tolerance.
+    assert abs(hist_bf16 - exact) / exact < 0.10, (hist_bf16, exact)

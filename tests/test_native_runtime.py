@@ -128,7 +128,7 @@ def test_scheduler_reference_ladder():
 
 
 def test_slam_consumes_scheduler():
-    """SLAMSystem._next_mapmaker_task must agree with the scheduler oracle
+    """SLAMSystem._select_task must agree with the scheduler oracle
     for every host-state combination (single source of truth)."""
     from visualslam_android_tpu.config import (
         MapMakerConfig, SLAMConfig, TrackerConfig,
@@ -150,15 +150,17 @@ def test_slam_consumes_scheduler():
         sys_.kf_queue = [None] * q
         sys_.recent_converged = rc
         sys_.full_converged = fc
-        sys_.failure_mask = sys_.failure_mask.at[0, 0].set(fail)
-        sys_.new_points = sys_.new_points.at[0].set(new)
+        # The device queue flags reach the scheduler as the host mirrors
+        # refreshed from each frame's packed stats vector.
+        sys_._any_failure_host = fail
+        sys_._any_new_host = new
         # Pin the 1-in-20 draw both ways via a stub rng.
         for r20 in (True, False):
             class _R:
                 def integers(self, n):
                     return 0 if r20 else 1
             sys_._mm_rng = _R()
-            got = sys_._next_mapmaker_task()
+            got = sys_._select_task()
             want = nr.scheduler_next_py(q, rc, fc, fail, new, r20)
             assert got == want, (q, rc, fc, fail, new, r20, got, want)
 

@@ -110,6 +110,45 @@ def test_ate_small(slam_run):
     assert rmse < 0.02 * span, f"ATE {rmse:.4f} vs span {span:.3f}"
 
 
+def test_pipelined_matches_sync(slam_run):
+    """pipelined=True must produce bit-identical per-frame results to the
+    default synchronous mode, just delivered one frame late (the device
+    dispatch stream and every host decision point are the same; only the
+    stats transfer is asynchronous). frame_id stitches the streams."""
+    config, _, results_sync, _ = slam_run
+    rng = np.random.default_rng(21)
+    scene = synthetic.make_planar_scene(rng, depth=4.0, px_per_m=140.0)
+    base_R, base_t = synthetic.look_at_pose((0.0, 0.0, 0.0))
+    shape = (config.tracker.height, config.tracker.width)
+    sys2 = slam.SLAMSystem(config, seed=3, pipelined=True)
+    n_frames = 26
+    results_pipe = []
+    for k in range(n_frames):
+        R_true, t_true = _gt_pose(base_R, base_t, k, n_frames)
+        img = synthetic.render(scene, sys2.cam, R_true, t_true, shape)
+        if k == 0 or k == 6:
+            sys2.on_touch()
+        results_pipe.append(sys2.track_frame(img))
+    results_pipe.extend(sys2.flush())
+
+    by_id = {r.frame_id: r for r in results_pipe if r.frame_id >= 0}
+    n_tracked = 0
+    for k, a in enumerate(results_sync):
+        b = by_id.get(k)
+        assert b is not None, f"frame {k} missing from pipelined stream"
+        assert (a.phase, a.quality, a.n_found, a.n_points,
+                a.n_keyframes, a.lost, a.did_coarse,
+                a.added_keyframe) == (
+            b.phase, b.quality, b.n_found, b.n_points, b.n_keyframes,
+            b.lost, b.did_coarse, b.added_keyframe,
+        ), f"frame {k}: {a} != {b}"
+        if a.phase == slam.PHASE_TRACKING:
+            np.testing.assert_array_equal(a.pose_R, b.pose_R)
+            np.testing.assert_array_equal(a.pose_t, b.pose_t)
+            n_tracked += 1
+    assert n_tracked > 10
+
+
 # ---------------------------------------------------------------------------
 # Lost -> relocalize -> resume (Tracker.cc:133-175, Relocaliser.cc:17-42;
 # VERDICT r1 item 3)
@@ -213,15 +252,16 @@ def test_post_recovery_ate_bounded(reloc_run):
 def test_corrupt_ba_requests_map_reset():
     """Tier-3 failure recovery (MapMaker.cc:906-915): a bundle adjustment
     that produces non-finite poses/points must request a full map reset,
-    resolved on the next scheduler flag pull (the deferred-convergence
-    path) and performed by track_frame."""
+    resolved when the deferred convergence scalars come back in the next
+    frame's stats vector and performed by track_frame."""
     sys_ = slam.SLAMSystem(_config(), seed=0)
-    # Simulate last frame's BA having corrupted the map.
-    sys_._pending_ba = (
-        "recent", jnp.asarray(False), jnp.asarray(False)
-    )
-    sys_._next_mapmaker_task()
+    # Simulate last frame's BA having corrupted the map (ok=False).
+    sys_._resolve_pending("recent", conv=False, ok=False)
     assert sys_.reset_requested
     # The synchronous (bootstrap) path reacts immediately.
     sys_.reset()
     assert not sys_.reset_requested
+    # A healthy unconverged local BA cascades into global-BA scheduling.
+    sys_._resolve_pending("recent", conv=False, ok=True)
+    assert not sys_.reset_requested
+    assert not sys_.recent_converged and not sys_.full_converged

@@ -1,0 +1,381 @@
+"""Fused per-frame and per-mapping-task jitted stages.
+
+On any deployment where the host drives the chip through a network link
+(here: a remote-TPU tunnel where one synchronous host<->device transfer
+costs ~30 ms while an async dispatch costs ~0.3 ms), the SLAM frame
+loop's wall-clock is dominated by (a) synchronous scalar pulls and
+(b) the count of separate dispatches — not by compute. These stages fuse
+each logical unit of the reference's loop into ONE jitted program:
+
+- ``frame_step``: the complete TrackFrame hot path
+  (jni/Tracker.cc:76-146) — pyramid+FAST front-end, SBI build, ESM
+  rotation prior, motion model, TrackMap, motion-model update, quality
+  assessment, inlier/outlier bookkeeping and HandleBadPoints
+  (jni/MapMaker.cc:140-164) — plus a packed ``stats`` vector carrying
+  every scalar the host control loop reads, so the host pulls exactly
+  once per frame (or asynchronously, one frame late, in pipelined mode).
+- ``ba_round``: adjust-set selection + bundle adjustment + result
+  write-back + ejected-measurement routing (MapMaker.cc:776-960) as one
+  dispatch.
+- ``integrate_keyframe``: AddKeyFrameFromTopOfQueue (MapMaker.cc:481-506)
+  — MakeKeyFrame_Rest, measurement registration, scene-depth refresh,
+  ReFindInSingleKeyFrame, and epipolar growth at levels 3,0,1,2 — as one
+  dispatch.
+- ``add_map_points_step``: ThinCandidates + AddPointEpipolar for one
+  (source keyframe, level), with the closest-keyframe target selection
+  done ON DEVICE (MapMaker.cc:427-437) so no index is pulled to the host.
+- ``refind_newly`` / ``refind_failures``: the batched points x keyframes
+  re-find stages with their queue bookkeeping folded in
+  (MapMaker.cc:1061-1095).
+
+The host side (models/slam.py) keeps only control state: phase, frame
+counters, the keyframe queue, and one-frame-stale mirrors of the device
+queue flags carried back in ``stats``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from visualslam_android_tpu.config import SLAMConfig
+from visualslam_android_tpu.models import bundle as bundle_mod
+from visualslam_android_tpu.models import keyframe as kf_mod
+from visualslam_android_tpu.models import mapmaker
+from visualslam_android_tpu.models import tracker as tracker_mod
+from visualslam_android_tpu.models.map_store import SRC_TRACKER, SLAMMap
+from visualslam_android_tpu.ops import sbi as sbi_ops
+
+N_LEVELS = 4
+
+# ---------------------------------------------------------------------------
+# Packed per-frame stats vector layout (everything the host control loop
+# reads, in ONE transfer). Indices into FrameStepOut.stats:
+# ---------------------------------------------------------------------------
+STAT_QUALITY = 0          # assess_tracking_quality code (0/1/2)
+STAT_DIST_EXCESSIVE = 1   # IsDistanceToNearestKeyFrameExcessive
+STAT_NEED_KF = 2          # NeedNewKeyFrame
+STAT_DID_COARSE = 3
+STAT_DEPTH = 4            # scene depth mean after this frame
+STAT_VEL_MAG = 5
+STAT_VEL_MSD = 6
+STAT_N_FOUND = 7
+STAT_N_POINTS = 8         # post-HandleBadPoints
+STAT_N_KEYFRAMES = 9
+STAT_N_MEAS = 10
+STAT_ANY_FAILURE = 11     # failure queue nonempty (as of frame start)
+STAT_ANY_NEW = 12         # new-point queue nonempty (post bad-point cull)
+STAT_ANY_NEWLY_BAD = 13
+STAT_PENDING_CONV = 14    # passthrough of last BA's convergence scalar
+STAT_PENDING_OK = 15      # passthrough of last BA's finite-map scalar
+STAT_FOUND_L0 = 16        # .. STAT_FOUND_L0 + N_LEVELS
+STAT_POSE_R = STAT_FOUND_L0 + N_LEVELS   # 9 floats, row-major
+STAT_POSE_T = STAT_POSE_R + 9            # 3 floats
+STATS_LEN = STAT_POSE_T + 3
+
+
+class FrameStepOut(NamedTuple):
+    slam_map: SLAMMap          # inlier/outlier counts updated, bad culled
+    R: jnp.ndarray             # [3,3] tracked pose
+    t: jnp.ndarray             # [3]
+    velocity: jnp.ndarray      # [6] updated motion model
+    msd: jnp.ndarray           # [] scene-depth-scaled |v|
+    depth: jnp.ndarray         # [] scene depth mean
+    sbi: sbi_ops.SBI           # this frame's SBI (next frame's prior)
+    key: jnp.ndarray           # advanced PRNG key
+    frame: object              # FrameData (kept for the keyframe queue)
+    found: jnp.ndarray         # [N]
+    found_pos: jnp.ndarray     # [N,2]
+    search_level: jnp.ndarray  # [N]
+    did_subpix: jnp.ndarray    # [N]
+    new_points: jnp.ndarray    # [N] new-point queue, bad-culled
+    stats: jnp.ndarray         # [STATS_LEN] f32 — the host's one pull
+
+
+@functools.partial(
+    jax.jit, static_argnames=("config", "use_prior", "forced_coarse"),
+    donate_argnums=(1,),  # slam_map: alias the (mostly passthrough)
+                          # keyframe store instead of copying it per frame
+)
+def frame_step(
+    img, slam_map: SLAMMap, cam, R, t, velocity, msd, depth_mean,
+    wiggle_depth_norm, sbi_last: sbi_ops.SBI, new_points, failure_mask,
+    pending, key, config: SLAMConfig,
+    use_prior: bool = True, forced_coarse: bool = False,
+) -> FrameStepOut:
+    """The complete per-frame hot path as ONE program.
+
+    use_prior=False on the relocalization frame itself (pose comes from
+    the relocalizer, velocity is zero — Tracker.cc:169-174);
+    forced_coarse=True on that frame and the just-recovered one
+    (track_map's `recovered`)."""
+    tc = config.tracker
+    f32 = jnp.float32
+    key_out, sub = jax.random.split(key)
+
+    frame = kf_mod.make_frame(img, config)
+    sbi_cur = sbi_ops.make_sbi(frame.pyramid[-1], tc.sbi_blur)
+
+    if use_prior:
+        sbi_rot = tracker_mod.calc_sbi_rotation(
+            sbi_cur.template, sbi_last, cam, tc.sbi_esm_iters
+        )
+        R1, t1 = tracker_mod.apply_motion_model(
+            R, t, velocity, sbi_rot, jnp.asarray(True)
+        )
+    else:
+        R1, t1 = R, t
+
+    out = tracker_mod.track_map(
+        frame, slam_map, cam, R1, t1, msd, sub, config,
+        recovered=forced_coarse,
+    )
+
+    depth_new = jnp.where(
+        out.depth_stats_valid, out.scene_depth_mean, depth_mean
+    )
+    velocity2, mag, msd2 = tracker_mod.update_motion_model(
+        out.R, out.t, R1, t1, velocity, depth_new, tc.motion_decay
+    )
+
+    # Inlier/outlier bookkeeping + HandleBadPoints (runs every frame, as
+    # in every pass of the reference's run() loop — MapMaker.cc:116).
+    pts = slam_map.points
+    pts = pts._replace(
+        inlier_count=pts.inlier_count + out.inlier_inc,
+        outlier_count=pts.outlier_count + out.outlier_inc,
+    )
+    sm = slam_map._replace(points=pts)
+    sm, newly_bad = mapmaker.handle_bad_points(sm, config)
+    new_points2 = new_points & ~newly_bad
+
+    quality = tracker_mod.assess_tracking_quality(
+        out.attempted_per_level, out.found_per_level,
+        tc.quality_good, tc.quality_lost,
+    )
+    dist_exc = mapmaker.dist_to_nearest_excessive(
+        sm.keyframes, out.R, out.t,
+        config.mapmaker.wiggle_scale, config.mapmaker.kf_distance_factor,
+    )
+    need_kf = mapmaker.need_new_keyframe(
+        sm.keyframes, out.R, out.t, depth_new, wiggle_depth_norm
+    )
+
+    stats = jnp.concatenate([
+        jnp.stack([
+            quality.astype(f32), dist_exc.astype(f32), need_kf.astype(f32),
+            out.did_coarse.astype(f32), depth_new, mag, msd2,
+            jnp.sum(out.found).astype(f32),
+            sm.points.count().astype(f32),
+            sm.keyframes.count().astype(f32),
+            sm.meas.count().astype(f32),
+            jnp.any(failure_mask).astype(f32),
+            jnp.any(new_points2).astype(f32),
+            jnp.any(newly_bad).astype(f32),
+            pending[0], pending[1],
+        ]),
+        out.found_per_level.astype(f32),
+        out.R.reshape(-1), out.t,
+    ])
+
+    return FrameStepOut(
+        slam_map=sm, R=out.R, t=out.t, velocity=velocity2, msd=msd2,
+        depth=depth_new, sbi=sbi_cur, key=key_out, frame=frame,
+        found=out.found, found_pos=out.found_pos,
+        search_level=out.search_level, did_subpix=out.did_subpix,
+        new_points=new_points2, stats=stats,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bundle adjustment round (MapMaker.cc:776-960) as one dispatch
+# ---------------------------------------------------------------------------
+
+
+def _obs_mask_to_point_kf(obs_mask, meas_kf, K):
+    """[N, O] measurement mask -> [N, K] point-keyframe mask."""
+    oh = jax.nn.one_hot(meas_kf, K, dtype=jnp.float32)
+    return (
+        jnp.einsum("no,nok->nk", obs_mask.astype(jnp.float32), oh) > 0.5
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("config", "max_iters", "assembly", "solver", "mode"),
+    donate_argnums=(0,),
+)
+def ba_round(
+    slam_map: SLAMMap, newest_kf, never_retry, failure_mask, cam,
+    config: SLAMConfig, max_iters: int, assembly: str, solver: str,
+    mode: str,
+):
+    """One BundleAdjustRecent/All: adjust-set selection, LM bundle
+    adjustment, write-back, and ejected-measurement routing
+    (MapMaker.cc:801-851, 917-959). Returns
+    (slam_map, failure_mask, never_retry, converged, map_ok) — the two
+    scalars stay ON DEVICE; callers that tolerate a one-frame lag thread
+    them through the next frame_step's `pending` input instead of
+    blocking."""
+    kfs = slam_map.keyframes
+    if mode == "local":
+        adjust = mapmaker.local_ba_adjust_mask(slam_map, newest_kf, config)
+    else:
+        adjust = kfs.valid & ~kfs.fixed
+    prob = mapmaker.build_ba_problem(slam_map, adjust, config)
+    bc = config.bundle
+    res = bundle_mod.bundle_adjust(
+        prob, cam, max_iters=max_iters,
+        point_block=bc.point_block,
+        assembly=assembly, solver=solver,
+        band_halfwidth=bc.band_halfwidth,
+        cg_iters=bc.cg_iters, cg_tol=bc.cg_tol,
+        update_conv=bc.update_convergence,
+        min_sigma_sq=bc.min_tukey_sigma ** 2,
+        lambda_init=bc.lambda_init, lambda_good=bc.lambda_good,
+        lambda_factor_init=bc.lambda_factor_init,
+    )
+    sm, retry, never, _died = mapmaker.apply_ba_result(
+        slam_map, prob, res, config
+    )
+    K = kfs.n_slots
+    failure_mask = failure_mask | _obs_mask_to_point_kf(
+        retry, prob.meas_kf, K
+    )
+    never_retry = never_retry | _obs_mask_to_point_kf(
+        never, prob.meas_kf, K
+    )
+    map_ok = jnp.all(jnp.isfinite(res.cam_t)) & jnp.all(
+        jnp.isfinite(res.points)
+    )
+    return sm, failure_mask, never_retry, res.converged, map_ok
+
+
+# ---------------------------------------------------------------------------
+# AddSomeMapPoints (MapMaker.cc:427-437) with on-device target selection
+# ---------------------------------------------------------------------------
+
+
+def _add_map_points_body(slam_map: SLAMMap, new_points, cam, src_kf,
+                         level: int, config: SLAMConfig):
+    kfs = slam_map.keyframes
+    d = mapmaker.keyframe_distances(kfs, kfs.R[src_kf], kfs.t[src_kf])
+    d = jnp.where(jnp.arange(kfs.n_slots) == src_kf, jnp.inf, d)
+    target = jnp.argmin(d)
+    # Gate everything off when there is no distinct valid target
+    # (the host used to pull `target` and bail; the mask is free).
+    enabled = (target != src_kf) & kfs.valid[target] & jnp.isfinite(d[target])
+
+    sm = mapmaker.thin_candidates(
+        slam_map, src_kf, level, config.mapmaker.thin_candidates_radius
+    )
+    dtype = kfs.t.dtype
+    cand_xy = sm.keyframes.cand_xy[level][src_kf].astype(dtype)
+    cand_ok = sm.keyframes.cand_valid[level][src_kf] & enabled
+    res = mapmaker.epipolar_search_cands(
+        sm, src_kf, target, cam, level, config, cand_xy, cand_ok
+    )
+    sm, new_mask = mapmaker.insert_new_points(
+        sm, cam, res, src_kf, target, level,
+        config.mapmaker.max_epi_candidates,
+    )
+    return sm, new_points | new_mask
+
+
+@functools.partial(jax.jit, static_argnames=("level", "config"),
+                   donate_argnums=(0,))
+def add_map_points_step(slam_map: SLAMMap, new_points, cam, src_kf,
+                        level: int, config: SLAMConfig):
+    return _add_map_points_body(
+        slam_map, new_points, cam, src_kf, level, config
+    )
+
+
+# ---------------------------------------------------------------------------
+# AddKeyFrameFromTopOfQueue (MapMaker.cc:481-506) as one dispatch
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("config",),
+                   donate_argnums=(0,))
+def integrate_keyframe(
+    slam_map: SLAMMap, new_points, never_retry, failure_mask,
+    frame, R, t, found, found_pos, level, subpix, slot, cam,
+    config: SLAMConfig,
+):
+    """MakeKeyFrame_Rest + insert + SRC_TRACKER measurement registration +
+    RefreshSceneDepth + ReFindInSingleKeyFrame + AddSomeMapPoints at
+    levels 3,0,1,2 — the reference's full keyframe-integration chain."""
+    extras = kf_mod.make_frame_extras(frame, config)
+    kfs = kf_mod.insert_keyframe(
+        slam_map.keyframes, slot, frame, extras, R, t, fixed=False
+    )
+    sm = slam_map._replace(keyframes=kfs)
+    meas = mapmaker.add_measurements_batch(
+        sm.meas, found, slot, found_pos, level, SRC_TRACKER, subpix
+    )
+    sm = sm._replace(meas=meas)
+    sm = kf_mod.refresh_scene_depth(sm, slot)
+
+    # ReFindInSingleKeyFrame (MapMaker.cc:497).
+    mask = sm.points.valid & ~never_retry[:, slot]
+    sm, found_rf, never_new = mapmaker.refind_in_keyframe(
+        sm, slot, cam, mask, config
+    )
+    never_retry = never_retry.at[:, slot].set(
+        never_retry[:, slot] | never_new
+    )
+    failure_mask = failure_mask.at[:, slot].set(
+        failure_mask[:, slot] & ~found_rf
+    )
+
+    # Epipolar growth, levels 3,0,1,2 (MapMaker.cc:499-502).
+    for lvl in (3, 0, 1, 2):
+        sm, new_points = _add_map_points_body(
+            sm, new_points, cam, slot, lvl, config
+        )
+    return sm, new_points, never_retry, failure_mask
+
+
+# ---------------------------------------------------------------------------
+# ReFindNewlyMade / ReFindFromFailureQueue (MapMaker.cc:1061-1095)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("config",),
+                   donate_argnums=(0,))
+def refind_newly(slam_map: SLAMMap, new_points, never_retry, failure_mask,
+                 cam, config: SLAMConfig):
+    K = slam_map.keyframes.n_slots
+    mask_kn = (
+        jnp.broadcast_to(new_points[None], (K, new_points.shape[0]))
+        & ~never_retry.T
+    )
+    sm, found_kn, never_kn = mapmaker.refind_in_keyframes_batched(
+        slam_map, cam, mask_kn, config
+    )
+    return (
+        sm,
+        jnp.zeros_like(new_points),
+        never_retry | never_kn.T,
+        failure_mask & ~found_kn.T,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("config",),
+                   donate_argnums=(0,))
+def refind_failures(slam_map: SLAMMap, never_retry, failure_mask, cam,
+                    config: SLAMConfig):
+    pending = (
+        failure_mask.T
+        & slam_map.points.valid[None]
+        & ~never_retry.T
+    )
+    sm, found_kn, never_kn = mapmaker.refind_in_keyframes_batched(
+        slam_map, cam, pending, config
+    )
+    # The queue is consumed wholesale; BA ejections repopulate it.
+    return sm, never_retry | never_kn.T, jnp.zeros_like(failure_mask)

@@ -12,11 +12,26 @@ Capability parity with three reference layers:
   DISABLED in the reference (pthread_create commented out,
   MapMaker.cc:55-56); here it actually runs, one prioritized work unit
   scheduled after each tracked frame (local BA chunk / refind / global BA
-  chunk / failure-queue retry / bad-point handling / keyframe
-  integration), realizing the async mapping stage the port dropped.
+  chunk / failure-queue retry / keyframe integration), realizing the
+  async mapping stage the port dropped.
 
-Host-side Python holds only control state (phase, counters, queues);
-all array work happens in the jitted stages of the other modules.
+Dispatch discipline (the TPU-native replacement for the reference's
+two-thread design): every per-frame array computation is ONE jitted
+program (models/frame_step.frame_step — front-end, SBI prior, motion
+model, TrackMap, quality, bad-point handling), every mapping task is ONE
+jitted program, and every scalar the host control loop needs rides back
+in frame_step's packed ``stats`` vector, so steady-state tracking costs
+exactly one synchronous device->host transfer per frame — or zero with
+``pipelined=True``, where the stats transfer is started asynchronously
+and resolved at the NEXT track_frame call (results then lag one frame;
+``FrameResult.frame_id`` says which frame a result belongs to, and
+``flush()`` drains the last one). Over a remote-TPU link one synchronous
+pull costs ~30 ms, which is why the reference-style blocking loop (3-4
+pulls/frame plus dozens of eager dispatches) ran at ~1 fps while the
+same math as fused programs runs at tracking rate.
+
+Host-side Python holds only control state (phase, counters, queues, and
+one-frame-stale mirrors of the device queue flags).
 """
 
 from __future__ import annotations
@@ -31,19 +46,16 @@ import numpy as np
 from visualslam_android_tpu import native_runtime
 from visualslam_android_tpu.config import SLAMConfig
 from visualslam_android_tpu.models import bundle as bundle_mod
+from visualslam_android_tpu.models import frame_step as fstep
 from visualslam_android_tpu.models import homography
 from visualslam_android_tpu.models import keyframe as kf_mod
 from visualslam_android_tpu.models import map_store, mapmaker
 from visualslam_android_tpu.models import relocalizer
 from visualslam_android_tpu.models import tracker as tracker_mod
 from visualslam_android_tpu.models import triangulate
-from visualslam_android_tpu.models.map_store import (
-    SRC_ROOT,
-    SRC_TRACKER,
-    SRC_TRAIL,
-)
+from visualslam_android_tpu.models.map_store import SRC_TRAIL
 from visualslam_android_tpu.ops import camera as cam_ops
-from visualslam_android_tpu.ops import lie, match
+from visualslam_android_tpu.ops import match
 from visualslam_android_tpu.ops import sbi as sbi_ops
 from visualslam_android_tpu.utils import profiling
 
@@ -66,16 +78,25 @@ class FrameResult:
     did_coarse: bool
     added_keyframe: bool
     message: str
+    frame_id: int = -1  # which track_frame call this result belongs to
 
 
 class SLAMSystem:
     """Create once, call `track_frame(gray_f32_image)` per frame and
     `on_touch()` for the two bootstrap presses (SystemPTAM semantics,
-    jni/jni_part.cpp:49-71)."""
+    jni/jni_part.cpp:49-71).
 
-    def __init__(self, config: Optional[SLAMConfig] = None, seed: int = 0):
+    pipelined=False (default): track_frame returns THIS frame's result
+    (one synchronous stats pull per frame). pipelined=True: the stats
+    transfer is asynchronous and track_frame returns the PREVIOUS
+    frame's result (zero blocking transfers per steady-state frame);
+    call flush() after the last frame for the final result."""
+
+    def __init__(self, config: Optional[SLAMConfig] = None, seed: int = 0,
+                 pipelined: bool = False):
         self.config = config or SLAMConfig()
         tc = self.config.tracker
+        self.pipelined = pipelined
         self.cam = cam_ops.make_camera(
             self.config.camera.params(), tc.width, tc.height
         )
@@ -84,6 +105,11 @@ class SLAMSystem:
         # --profile enables it). SURVEY.md §5: the reference has no
         # tracing subsystem — this is the capability added in its place.
         self.timer = profiling.StageTimer(enabled=False)
+        self._pending_zero = jnp.zeros(2, jnp.float32)
+        # Results not yet handed to the caller (pipelined mode can
+        # produce two in one call around lost/bootstrap edges). Survives
+        # reset() so no result is dropped.
+        self._result_backlog: List[FrameResult] = []
         self.reset()
 
     # ---- control -----------------------------------------------------
@@ -92,20 +118,23 @@ class SLAMSystem:
         """Tracker::Reset + MapMaker::Reset (Tracker.cc:45-70,
         MapMaker.cc:60-74)."""
         cfg = self.config
+        f32 = jnp.float32
         self.slam_map = map_store.empty_map(cfg)
         self.phase = PHASE_NOT_STARTED
-        self.R = jnp.eye(3, dtype=jnp.float32)
-        self.t = jnp.zeros(3, jnp.float32)
-        self.velocity = jnp.zeros(6, jnp.float32)
-        self.vel_mag = 0.0
-        self.vel_msd_mag = 0.0
+        self.R = jnp.eye(3, dtype=f32)
+        self.t = jnp.zeros(3, f32)
+        self.velocity = jnp.zeros(6, f32)
+        self._msd = jnp.zeros((), f32)       # scene-depth-scaled |v|
+        self._depth = jnp.ones((), f32)      # scene depth mean
+        self._wiggle_dev = jnp.ones((), f32)  # wiggle_depth_norm
+        self.vel_mag = 0.0                   # observability mirrors
+        self.scene_depth_mean = 1.0
+        self.wiggle_depth_norm = 1.0
         self.sbi_last: Optional[sbi_ops.SBI] = None
         self.lost_frames = 0
         self.just_recovered = False
         self.frame_idx = 0
         self.last_kf_frame = -100
-        self.scene_depth_mean = 1.0
-        self.wiggle_depth_norm = 1.0
         self.pressed = False
         # Trail state.
         self._trail_first = None   # (frame, extras)
@@ -115,24 +144,34 @@ class SLAMSystem:
         self._trail_valid = None
         self._trail_count = 0
         self._prev_frame = None
-        # Mapping-stage state.
+        # Mapping-stage state (device) + host mirrors of its queue flags
+        # (refreshed from each frame's stats pull, so one frame stale —
+        # the scheduler tolerates that the same way the reference's
+        # mapmaker thread tolerates racing the tracker's flag writes).
         N = cfg.tracker.max_map_points
         K = cfg.mapmaker.max_keyframes
         self.never_retry = jnp.zeros((N, K), bool)
         self.failure_mask = jnp.zeros((N, K), bool)
         self.new_points = jnp.zeros(N, bool)   # mqNewQueue equivalent
+        self._any_failure_host = False
+        self._any_new_host = False
         self.kf_queue: List[dict] = []
         self.recent_converged = True
         self.full_converged = True
         self.reset_requested = False
         self._mm_rng = np.random.default_rng(1234)
-        # Deferred BA convergence (kind, device scalar) — resolved on the
-        # next frame's scheduler flag pull instead of blocking the frame.
+        # Deferred BA convergence (kind, conv, ok device scalars) —
+        # threaded through the next frame_step's `pending` input and
+        # resolved at that frame's stats processing.
         self._pending_ba = None
-        # Host-side keyframe bookkeeping (keyframes are never deleted, so
-        # count/newest need no device readbacks).
+        # Pipelined-mode in-flight frame context.
+        self._ctx = None
+        # Host-side bookkeeping (keyframes are never deleted; slots fill
+        # sequentially — no device readbacks needed).
         self._kf_count_host = 0
         self._newest_kf_host = -1
+        self._n_points_host = 0
+        self._band_choice = None
 
     def on_touch(self):
         """Touch = PTAM spacebar (jni_part.cpp:49-51)."""
@@ -146,6 +185,55 @@ class SLAMSystem:
 
     def track_frame(self, img) -> FrameResult:
         """TrackFrame (Tracker.cc:76-146)."""
+        # Pipelined mode: resolve the previous frame first — its
+        # decisions (KF add, quality/lost, BA convergence) feed this
+        # frame's scheduling.
+        if self._ctx is not None:
+            self._result_backlog.append(self._process_ctx())
+            if self.reset_requested:
+                self.reset()
+
+        fid = self.frame_idx
+        self.frame_idx += 1
+        if self.phase == PHASE_TRACKING:
+            res = self._tracking_frame(img, fid)
+        else:
+            res = self._bootstrap_frame(img, fid)
+
+        if res is not None:
+            self._result_backlog.append(res)
+        if self._result_backlog:
+            return self._result_backlog.pop(0)
+        if self.pipelined and self._ctx is not None:
+            # Warm-up edge: the first tracked frame's result is still in
+            # flight. Emit a placeholder (frame_id=-1) rather than block;
+            # the real result arrives at the next call (or via flush()).
+            return FrameResult(
+                pose_R=np.eye(3, dtype=np.float32),
+                pose_t=np.zeros(3, np.float32),
+                quality=tracker_mod.QUALITY_GOOD, n_found=0,
+                n_points=self._n_points_host,
+                n_keyframes=self._kf_count_host,
+                phase=self.phase, lost=False, did_coarse=False,
+                added_keyframe=False,
+                message="(pipelined warm-up: result pending)",
+                frame_id=-1,
+            )
+        return self._process_ctx()
+
+    def flush(self) -> List[FrameResult]:
+        """Pipelined mode: drain every not-yet-delivered result (at most
+        two: the in-flight frame plus a backlog edge case)."""
+        if self._ctx is not None:
+            self._result_backlog.append(self._process_ctx())
+            if self.reset_requested:
+                self.reset()
+        out, self._result_backlog = self._result_backlog, []
+        return out
+
+    # ---- bootstrap frames ---------------------------------------------
+
+    def _bootstrap_frame(self, img, fid) -> FrameResult:
         cfg = self.config
         with self.timer.stage("frontend"):
             img = jnp.asarray(img, jnp.float32)
@@ -154,215 +242,253 @@ class SLAMSystem:
                 frame.pyramid[-1], cfg.tracker.sbi_blur
             )
             self.timer.sync(frame, sbi_cur)
-        self.frame_idx += 1
-        added_kf = False
-        message = ""
-
-        if self.phase == PHASE_TRACKING:
-            with self.timer.stage("track"):
-                out, message, added_kf, host = self._track(frame, sbi_cur)
-                self.timer.sync(self.R, self.t)
-            if host is not None:
-                quality = host["quality"]
-                n_found = host["n_found"]
-                did_coarse = host["did_coarse"]
-            else:  # relocalization attempt failed this frame
-                quality = tracker_mod.QUALITY_BAD
-                n_found = 0
-                did_coarse = False
-            # One unit of mapping work per frame (the restored MapMaker
-            # run() loop).
-            with self.timer.stage("mapmaker"):
-                map_changed = self._mapmaker_step()
-        else:
-            with self.timer.stage("bootstrap"):
-                self._bootstrap(frame, sbi_cur, img)
-            host = None
-            map_changed = True
-            quality = tracker_mod.QUALITY_GOOD
-            n_found = self._trail_count
-            did_coarse = False
-            message = {
-                PHASE_NOT_STARTED: "Touch to start map initialization",
-                PHASE_TRAILS: f"Trail tracking: {n_found} trails; "
-                              "touch again to build map",
-                PHASE_TRACKING: "Map built",
-            }[self.phase]
-
+        with self.timer.stage("bootstrap"):
+            self._bootstrap(frame, sbi_cur, img)
         self.sbi_last = sbi_cur
         self._prev_frame = frame
         if self.reset_requested:
             self.reset()
-        # Pose and counts come from the batched _track transfer when the
-        # map was not touched since; one extra [2] pull otherwise.
-        if host is not None and not map_changed:
-            pose_R, pose_t = host["pose_R"], host["pose_t"]
-            n_points, n_keyframes = host["n_points"], host["n_keyframes"]
-        else:
-            pose_R = np.asarray(self.R)
-            pose_t = np.asarray(self.t)
-            counts = np.asarray(jnp.stack([
-                self.slam_map.points.count(),
-                self.slam_map.keyframes.count(),
-            ]))
-            n_points, n_keyframes = int(counts[0]), int(counts[1])
+        n_found = self._trail_count
+        message = {
+            PHASE_NOT_STARTED: "Touch to start map initialization",
+            PHASE_TRAILS: f"Trail tracking: {n_found} trails; "
+                          "touch again to build map",
+            PHASE_TRACKING: "Map built",
+        }[self.phase]
         return FrameResult(
-            pose_R=pose_R,
-            pose_t=pose_t,
-            quality=quality,
-            n_found=n_found,
-            n_points=n_points,
-            n_keyframes=n_keyframes,
-            phase=self.phase,
-            lost=self.lost_frames >= cfg.tracker.max_lost_frames,
-            did_coarse=did_coarse,
-            added_keyframe=added_kf,
-            message=message,
+            pose_R=np.asarray(self.R), pose_t=np.asarray(self.t),
+            quality=tracker_mod.QUALITY_GOOD, n_found=n_found,
+            n_points=self._n_points_host,
+            n_keyframes=self._kf_count_host,
+            phase=self.phase, lost=False, did_coarse=False,
+            added_keyframe=False, message=message, frame_id=fid,
         )
 
-    # ---- normal tracking --------------------------------------------
+    # ---- normal tracking ----------------------------------------------
 
-    def _track(self, frame, sbi_cur):
+    def _tracking_frame(self, img, fid) -> Optional[FrameResult]:
+        """Dispatch the fused frame step + one mapping task; returns the
+        FrameResult in sync mode, None in pipelined steady state."""
         cfg = self.config
         tc = cfg.tracker
+        img = jnp.asarray(img, jnp.float32)
         lost = self.lost_frames >= tc.max_lost_frames
-        recovered = False
+
+        use_prior, forced_coarse, recovered = True, False, False
         if lost:
-            res = relocalizer.attempt_recovery(
-                self.slam_map, sbi_cur.template, self.cam,
-                cfg.mapmaker.reloc_max_score,
-            )
-            if not bool(res.success):
-                return None, "Lost; attempting relocalization", False, None
+            with self.timer.stage("reloc"):
+                frame = kf_mod.make_frame(img, cfg)
+                sbi_cur = sbi_ops.make_sbi(
+                    frame.pyramid[-1], tc.sbi_blur
+                )
+                res = relocalizer.attempt_recovery(
+                    self.slam_map, sbi_cur.template, self.cam,
+                    cfg.mapmaker.reloc_max_score,
+                )
+                success = bool(res.success)  # sync pull (rare path)
+            if not success:
+                self.sbi_last = sbi_cur
+                self._prev_frame = frame
+                with self.timer.stage("mapmaker"):
+                    self._mapmaker_step()
+                return self._lost_result(fid)
+            # Tracker.cc:163-174: adopt the recovered pose, zero the
+            # motion model, force the coarse stage.
             self.R, self.t = res.R, res.t
             self.velocity = jnp.zeros(6, jnp.float32)
-            recovered = True
-            self.just_recovered = False
-        else:
-            R_start, t_start = self.R, self.t
-            use_sbi = self.sbi_last is not None
-            sbi_rot = (
-                tracker_mod.calc_sbi_rotation(
-                    sbi_cur.template, self.sbi_last, self.cam,
-                    tc.sbi_esm_iters,
-                )
-                if use_sbi
-                else jnp.zeros(6, jnp.float32)
-            )
-            self.R, self.t = tracker_mod.apply_motion_model(
-                self.R, self.t, self.velocity, sbi_rot,
-                jnp.asarray(use_sbi),
-            )
-
-        out = tracker_mod.track_map(
-            frame, self.slam_map, self.cam, self.R, self.t,
-            jnp.asarray(self.vel_msd_mag, jnp.float32),
-            self._next_key(), cfg,
-            recovered=recovered or self.just_recovered,
-        )
+            use_prior, forced_coarse, recovered = False, True, True
+        elif self.just_recovered:
+            forced_coarse = True  # one more forced-coarse frame
         self.just_recovered = False
+
+        pend = self._pending_ba
+        if pend is not None:
+            pending_vec = jnp.stack([
+                pend[1].astype(jnp.float32), pend[2].astype(jnp.float32)
+            ])
+            pending_kind = pend[0]
+            self._pending_ba = None
+        else:
+            pending_vec = self._pending_zero
+            pending_kind = None
+
+        R_before, t_before = self.R, self.t
+        with self.timer.stage("frame_step"):
+            out = fstep.frame_step(
+                img, self.slam_map, self.cam, self.R, self.t,
+                self.velocity, self._msd, self._depth, self._wiggle_dev,
+                self.sbi_last, self.new_points, self.failure_mask,
+                pending_vec, self.key, cfg,
+                use_prior=use_prior, forced_coarse=forced_coarse,
+            )
+            self.timer.sync(out.stats)
+        self.slam_map = out.slam_map
+        self.R, self.t, self.velocity = out.R, out.t, out.velocity
+        self._msd, self._depth = out.msd, out.depth
+        self.sbi_last = out.sbi
+        self.key = out.key
+        self.new_points = out.new_points
+        self._prev_frame = out.frame
         if recovered:
-            R_start, t_start = self.R, self.t
-        self.R, self.t = out.R, out.t
+            self.just_recovered = True  # force coarse next frame too
 
-        # Motion model update (skipped right after recovery: velocity 0).
-        f32 = jnp.float32
-        depth_new = jnp.where(
-            out.depth_stats_valid, out.scene_depth_mean,
-            jnp.asarray(self.scene_depth_mean, f32),
-        )
-        self.velocity, mag, msd = tracker_mod.update_motion_model(
-            self.R, self.t, R_start, t_start, self.velocity, depth_new,
-            tc.motion_decay,
-        )
+        with self.timer.stage("mapmaker"):
+            self._mapmaker_step()
 
-        # Inlier/outlier bookkeeping for HandleBadPoints.
-        pts = self.slam_map.points
-        pts = pts._replace(
-            inlier_count=pts.inlier_count + out.inlier_inc,
-            outlier_count=pts.outlier_count + out.outlier_inc,
+        self._ctx = dict(
+            stats=out.stats, frame=out.frame, found=out.found,
+            found_pos=out.found_pos, search_level=out.search_level,
+            did_subpix=out.did_subpix, R=out.R, t=out.t,
+            R_before=R_before, t_before=t_before,
+            pending_kind=pending_kind, recovered=recovered, fid=fid,
         )
-        self.slam_map = self.slam_map._replace(points=pts)
+        if self.pipelined:
+            try:
+                out.stats.copy_to_host_async()
+            except (AttributeError, NotImplementedError):
+                pass  # backend without async copies: the pull just blocks
+            return None
+        return self._process_ctx()
 
-        quality_dev = tracker_mod.assess_tracking_quality(
-            out.attempted_per_level, out.found_per_level,
-            tc.quality_good, tc.quality_lost,
-        )
-        dist_exc_dev = mapmaker.dist_to_nearest_excessive(
-            self.slam_map.keyframes, self.R, self.t,
-            cfg.mapmaker.wiggle_scale, cfg.mapmaker.kf_distance_factor,
-        )
-        need_kf_dev = mapmaker.need_new_keyframe(
-            self.slam_map.keyframes, self.R, self.t, depth_new,
-            jnp.asarray(self.wiggle_depth_norm, f32),
-        )
+    def _resolve_pending(self, kind: str, conv: bool, ok: bool):
+        """Deferred BA convergence resolution — the reference's negative
+        Bundle::Compute return triggers a map reset (MapMaker.cc:906-915);
+        convergence flags drive the scheduler ladder."""
+        if not ok:
+            self.reset_requested = True
+        elif kind == "recent":
+            self.recent_converged = conv
+            if not conv:
+                self.full_converged = False
+        else:  # "full"
+            self.full_converged = conv
+            if conv:
+                self.recent_converged = True
 
-        # ONE host transfer for every per-frame scalar. Each separate
-        # int()/bool()/float() is a device round-trip; over a remote-TPU
-        # link those round-trips, not compute, dominated the frame loop.
-        n_lvl = out.found_per_level.shape[0]
-        stats = np.asarray(jnp.concatenate([
-            jnp.stack([
-                quality_dev.astype(f32), dist_exc_dev.astype(f32),
-                need_kf_dev.astype(f32),
-                out.did_coarse.astype(f32), depth_new, mag, msd,
-                jnp.sum(out.found).astype(f32),
-                self.slam_map.points.count().astype(f32),
-                self.slam_map.keyframes.count().astype(f32),
-            ]),
-            out.found_per_level.astype(f32),
-            self.R.reshape(-1), self.t,
-        ]))
-        quality = int(stats[0])
-        self.vel_mag = float(stats[5])
-        self.vel_msd_mag = float(stats[6])
-        self.scene_depth_mean = float(stats[4])
-        found_l = [int(x) for x in stats[10:10 + n_lvl]]
-        host = dict(
-            quality=quality, did_coarse=bool(stats[3]),
-            n_found=int(stats[7]),
-            n_points=int(stats[8]), n_keyframes=int(stats[9]),
-            pose_R=stats[10 + n_lvl:19 + n_lvl].reshape(3, 3).copy(),
-            pose_t=stats[19 + n_lvl:22 + n_lvl].copy(),
-        )
+    def _process_ctx(self) -> FrameResult:
+        """Pull the frame's packed stats (the loop's ONE transfer) and run
+        every host-side decision on it."""
+        ctx = self._ctx
+        self._ctx = None
+        cfg = self.config
+        tc = cfg.tracker
+        with self.timer.stage("stats_pull"):
+            stats = np.asarray(ctx["stats"])
+        S = fstep
+        finite = bool(np.isfinite(stats).all())
+
+        if finite:
+            quality = int(stats[S.STAT_QUALITY])
+            pose_R = (
+                stats[S.STAT_POSE_R:S.STAT_POSE_R + 9]
+                .reshape(3, 3).copy()
+            )
+            pose_t = stats[S.STAT_POSE_T:S.STAT_POSE_T + 3].copy()
+            self.vel_mag = float(stats[S.STAT_VEL_MAG])
+            self.scene_depth_mean = float(stats[S.STAT_DEPTH])
+            self._n_points_host = int(stats[S.STAT_N_POINTS])
+            self._any_failure_host = stats[S.STAT_ANY_FAILURE] > 0.5
+            self._any_new_host = stats[S.STAT_ANY_NEW] > 0.5
+            n_found = int(stats[S.STAT_N_FOUND])
+            n_points = int(stats[S.STAT_N_POINTS])
+            n_keyframes = int(stats[S.STAT_N_KEYFRAMES])
+            did_coarse = bool(stats[S.STAT_DID_COARSE] > 0.5)
+            found_l = [
+                int(x)
+                for x in stats[S.STAT_FOUND_L0:S.STAT_FOUND_L0
+                               + fstep.N_LEVELS]
+            ]
+        else:
+            # A corrupting BA is applied immediately but detected one
+            # frame later (_pending_ba, mirroring the reference's async
+            # mapmaker thread). This frame tracked against a non-finite
+            # map: demote to BAD and keep the pre-track pose so the
+            # FrameResult never carries NaN (ADVICE r2).
+            quality = tracker_mod.QUALITY_BAD
+            self.R, self.t = ctx["R_before"], ctx["t_before"]
+            self.velocity = jnp.zeros(6, jnp.float32)
+            self._msd = jnp.zeros((), jnp.float32)
+            self._depth = jnp.ones((), jnp.float32)
+            self.vel_mag = 0.0
+            self.scene_depth_mean = 1.0
+            pr = np.asarray(
+                jnp.concatenate(
+                    [ctx["R_before"].reshape(-1), ctx["t_before"]]
+                )
+            )
+            pose_R, pose_t = pr[:9].reshape(3, 3), pr[9:]
+            n_found, did_coarse = 0, False
+            n_points = self._n_points_host
+            n_keyframes = self._kf_count_host
+            found_l = [0] * fstep.N_LEVELS
+
+        # Deferred BA convergence (one-frame lag, like the reference's
+        # mapmaker thread racing the tracker).
+        if ctx["pending_kind"] is not None:
+            self._resolve_pending(
+                ctx["pending_kind"],
+                finite and stats[S.STAT_PENDING_CONV] > 0.5,
+                finite and stats[S.STAT_PENDING_OK] > 0.5,
+            )
 
         # Distance-to-map sanity demotion (Tracker.cc:867-872).
-        if quality == tracker_mod.QUALITY_DODGY and bool(stats[1]):
+        if (
+            quality == tracker_mod.QUALITY_DODGY
+            and finite and stats[S.STAT_DIST_EXCESSIVE] > 0.5
+        ):
             quality = tracker_mod.QUALITY_BAD
-            host["quality"] = quality
         if quality == tracker_mod.QUALITY_BAD:
             self.lost_frames += 1
         else:
             self.lost_frames = 0
-        if recovered:
-            self.just_recovered = True  # force coarse next frame
 
-        # Keyframe-add heuristic (Tracker.cc:127-132).
+        # Keyframe-add heuristic (Tracker.cc:127-132). The queue entry is
+        # consumed by a later frame's mapping step — the same latency the
+        # reference's cross-thread queue has.
         added = False
         if (
             quality == tracker_mod.QUALITY_GOOD
-            and self.frame_idx - self.last_kf_frame
+            and ctx["fid"] - self.last_kf_frame
             > tc.min_frames_between_kfs
             and len(self.kf_queue) < tc.max_kf_queue
-            and bool(stats[2])
+            and finite and stats[S.STAT_NEED_KF] > 0.5
         ):
             self.kf_queue.append(
                 dict(
-                    frame=frame, R=self.R, t=self.t,
-                    found=out.found, found_pos=out.found_pos,
-                    level=out.search_level, subpix=out.did_subpix,
+                    frame=ctx["frame"], R=ctx["R"], t=ctx["t"],
+                    found=ctx["found"], found_pos=ctx["found_pos"],
+                    level=ctx["search_level"], subpix=ctx["did_subpix"],
                 )
             )
-            self.last_kf_frame = self.frame_idx
+            self.last_kf_frame = ctx["fid"]
             added = True
 
-        msg = (
+        message = (
             f"Tracking Map, quality {['BAD','DODGY','GOOD'][quality]}. "
-            f"Found: {found_l} Map: {host['n_points']}P, "
-            f"{host['n_keyframes']}KF"
+            f"Found: {found_l} Map: {n_points}P, {n_keyframes}KF"
             + (" Adding key-frame." if added else "")
         )
-        return out, msg, added, host
+        if ctx["recovered"]:
+            message = "Relocalized. " + message
+        return FrameResult(
+            pose_R=pose_R, pose_t=pose_t, quality=quality,
+            n_found=n_found, n_points=n_points, n_keyframes=n_keyframes,
+            phase=self.phase,
+            lost=self.lost_frames >= tc.max_lost_frames,
+            did_coarse=did_coarse, added_keyframe=added,
+            message=message, frame_id=ctx["fid"],
+        )
+
+    def _lost_result(self, fid) -> FrameResult:
+        return FrameResult(
+            pose_R=np.asarray(self.R), pose_t=np.asarray(self.t),
+            quality=tracker_mod.QUALITY_BAD, n_found=0,
+            n_points=self._n_points_host,
+            n_keyframes=self._kf_count_host,
+            phase=self.phase, lost=True, did_coarse=False,
+            added_keyframe=False,
+            message="Lost; attempting relocalization", frame_id=fid,
+        )
 
     # ---- bootstrap (TrackForInitialMap) ------------------------------
 
@@ -531,7 +657,9 @@ class SLAMSystem:
         self._kf_count_host = 2
         self._newest_kf_host = 1
         for _ in range(5):
-            self._run_global_ba(max_iters=10)
+            self._dispatch_ba("global", max_iters=10, sync=True)
+            if self.reset_requested:
+                return False
         self.slam_map = kf_mod.refresh_scene_depth(self.slam_map, 0)
         self.slam_map = kf_mod.refresh_scene_depth(self.slam_map, 1)
         self.scene_depth_mean = float(
@@ -540,6 +668,10 @@ class SLAMSystem:
         self.wiggle_depth_norm = mc.wiggle_scale / max(
             self.scene_depth_mean, 1e-6
         )
+        self._depth = jnp.asarray(self.scene_depth_mean, jnp.float32)
+        self._wiggle_dev = jnp.asarray(
+            self.wiggle_depth_norm, jnp.float32
+        )
 
         # Epipolar growth at levels 0,3,1,2 (MapMaker.cc:355-358).
         for lvl in (0, 3, 1, 2):
@@ -547,8 +679,10 @@ class SLAMSystem:
 
         # BA until converged (MapMaker.cc:363-367).
         for _ in range(8):
-            if self._run_global_ba(max_iters=10):
+            if self._dispatch_ba("global", max_iters=10, sync=True):
                 break
+            if self.reset_requested:
+                return False
         if self.reset_requested:
             return False
 
@@ -564,274 +698,143 @@ class SLAMSystem:
         self.R = self.slam_map.keyframes.R[1]
         self.t = self.slam_map.keyframes.t[1]
         self.velocity = jnp.zeros(6, jnp.float32)
-        self.last_kf_frame = self.frame_idx
+        self._msd = jnp.zeros((), jnp.float32)
+        # frame_idx was already advanced for this frame; KF-add gating
+        # compares 0-based frame ids (FrameResult.frame_id).
+        self.last_kf_frame = self.frame_idx - 1
+        self._n_points_host = int(self.slam_map.points.count())
+        self._any_new_host = True  # epipolar growth queued new points
         return True
 
     # ---- mapping stage (MapMaker::run priorities) --------------------
 
-    def _next_mapmaker_task(self) -> int:
+    def _mapmaker_step(self):
+        """One prioritized unit of mapping work (MapMaker.cc:80-123),
+        chosen by the scheduler (native C++ when built, Python mirror
+        otherwise — both encode the same ladder) from host-side state
+        only: queue length, BA convergence, and one-frame-stale mirrors
+        of the device queue flags. HandleBadPoints runs inside every
+        frame_step (as in every pass of the reference's run() loop,
+        MapMaker.cc:116)."""
+        task = self._select_task()
+        if task == native_runtime.TASK_ADD_KEYFRAME:
+            self._add_keyframe_from_queue()
+        elif task == native_runtime.TASK_BA_RECENT:
+            self._dispatch_ba("local", max_iters=8)
+        elif task == native_runtime.TASK_REFIND_NEWLY:
+            (self.slam_map, self.new_points, self.never_retry,
+             self.failure_mask) = fstep.refind_newly(
+                self.slam_map, self.new_points, self.never_retry,
+                self.failure_mask, self.cam, self.config,
+            )
+            self._any_new_host = False
+        elif task == native_runtime.TASK_BA_ALL:
+            self._dispatch_ba("global", max_iters=6)
+        elif task == native_runtime.TASK_REFIND_FAILURES:
+            (self.slam_map, self.never_retry,
+             self.failure_mask) = fstep.refind_failures(
+                self.slam_map, self.never_retry, self.failure_mask,
+                self.cam, self.config,
+            )
+            self._any_failure_host = False
+        return task
+
+    def _select_task(self) -> int:
         """Ask the scheduler (native C++ when built, Python mirror
         otherwise — both encode the MapMaker.cc:80-123 ladder) which ONE
-        unit of mapping work to dispatch next."""
+        unit of mapping work to dispatch, from host state only."""
         sched = (
             native_runtime.scheduler_next
             if native_runtime.available()
             else native_runtime.scheduler_next_py
         )
-        # One batched pull for the queue flags AND last frame's deferred
-        # BA convergence (separate bool() casts would each be a device
-        # round-trip per frame).
-        vals = [jnp.any(self.failure_mask), jnp.any(self.new_points)]
-        pend = self._pending_ba
-        if pend is not None:
-            vals.extend([pend[1], pend[2]])
-        flags = np.asarray(jnp.stack([
-            jnp.asarray(v, jnp.bool_) for v in vals
-        ]))
-        if pend is not None:
-            self._pending_ba = None
-            conv = bool(flags[2])
-            if not bool(flags[3]):
-                # Corrupt adjustment: request the full map reset
-                # (MapMaker.cc:906-915); track_frame performs it.
-                self.reset_requested = True
-            elif pend[0] == "recent":
-                self.recent_converged = conv
-                if not conv:
-                    self.full_converged = False
-            else:  # "full"
-                self.full_converged = conv
-                if conv:
-                    self.recent_converged = True
         return sched(
             len(self.kf_queue),
             self.recent_converged,
             self.full_converged,
-            bool(flags[0]),
-            bool(flags[1]),
+            self._any_failure_host,
+            self._any_new_host,
             self._mm_rng.integers(20) == 0,
         )
 
-    def _mapmaker_step(self):
-        """One prioritized unit of mapping work (MapMaker.cc:80-123),
-        chosen by the scheduler; HandleBadPoints then runs unconditionally
-        as in every pass of the reference's run() loop (MapMaker.cc:116)."""
-        task = self._next_mapmaker_task()
-        if task == native_runtime.TASK_ADD_KEYFRAME:
-            self._add_keyframe_from_queue()
-        elif task == native_runtime.TASK_BA_RECENT:
-            self._run_local_ba()
-        elif task == native_runtime.TASK_REFIND_NEWLY:
-            self._refind_newly_made()
-        elif task == native_runtime.TASK_BA_ALL:
-            self._run_global_ba(max_iters=6, sync=False)
-        elif task == native_runtime.TASK_REFIND_FAILURES:
-            self._refind_from_failure_queue()
-        points_trashed = self._handle_bad_points()
-        # Whether point/keyframe counts may have moved this step (lets the
-        # caller reuse the tracking step's batched count transfer).
-        return task != native_runtime.TASK_NONE or points_trashed
-
-    def _free_kf_slot(self) -> Optional[int]:
-        valid = np.asarray(self.slam_map.keyframes.valid)
-        free = np.nonzero(~valid)[0]
-        return int(free[0]) if len(free) else None
-
     def _add_keyframe_from_queue(self):
-        """AddKeyFrameFromTopOfQueue (MapMaker.cc:481-506)."""
-        cfg = self.config
+        """AddKeyFrameFromTopOfQueue (MapMaker.cc:481-506) — ONE jitted
+        dispatch (make-rest, measurement registration, scene depth,
+        refind-in-KF, epipolar growth at 4 levels)."""
         entry = self.kf_queue.pop(0)
-        slot = self._free_kf_slot()
-        if slot is None:
+        slot = self._kf_count_host
+        if slot >= self.config.mapmaker.max_keyframes:
             return  # capacity full: drop (reference never hits this)
-        extras = kf_mod.make_frame_extras(entry["frame"], cfg)
-        kfs = kf_mod.insert_keyframe(
-            self.slam_map.keyframes, slot, entry["frame"], extras,
-            entry["R"], entry["t"], fixed=False,
+        (self.slam_map, self.new_points, self.never_retry,
+         self.failure_mask) = fstep.integrate_keyframe(
+            self.slam_map, self.new_points, self.never_retry,
+            self.failure_mask, entry["frame"], entry["R"], entry["t"],
+            entry["found"], entry["found_pos"], entry["level"],
+            entry["subpix"], slot, self.cam, self.config,
         )
-        self.slam_map = self.slam_map._replace(keyframes=kfs)
-        self._kf_count_host += 1
+        self._kf_count_host = slot + 1
         self._newest_kf_host = slot
-        # Register the tracker's measurements (SRC_TRACKER).
-        meas = mapmaker.add_measurements_batch(
-            self.slam_map.meas, entry["found"], slot, entry["found_pos"],
-            entry["level"], SRC_TRACKER, entry["subpix"],
-        )
-        self.slam_map = self.slam_map._replace(meas=meas)
-        self.slam_map = kf_mod.refresh_scene_depth(self.slam_map, slot)
-        # ReFindInSingleKeyFrame (MapMaker.cc:497).
-        self._refind_in_kf(slot, self.slam_map.points.valid)
-        # Epipolar growth, levels 3,0,1,2 (MapMaker.cc:499-502).
-        for lvl in (3, 0, 1, 2):
-            self._add_some_map_points(slot, lvl)
+        self._any_new_host = True  # epipolar growth likely added points
         self.recent_converged = False
         self.full_converged = False
 
     def _add_some_map_points(self, src_kf: int, level: int):
-        """AddSomeMapPoints (MapMaker.cc:427-437): thin candidates, then
-        epipolar-search all of them against the closest keyframe."""
-        cfg = self.config
-        target, _ = mapmaker.closest_keyframe(
-            self.slam_map.keyframes,
-            self.slam_map.keyframes.R[src_kf],
-            self.slam_map.keyframes.t[src_kf],
-            exclude=src_kf,
+        """AddSomeMapPoints (MapMaker.cc:427-437) — bootstrap-path entry;
+        target selection and validity gating happen on device."""
+        self.slam_map, self.new_points = fstep.add_map_points_step(
+            self.slam_map, self.new_points, self.cam, src_kf, level,
+            self.config,
         )
-        target = int(target)
-        if target == src_kf or not bool(
-            self.slam_map.keyframes.valid[target]
+        self._any_new_host = True
+
+    def _solver_choice(self):
+        """Dense Cholesky under dense_solver_max_cams camera slots;
+        above, band Schur + band-local CG when every co-observing pair
+        fits the band (odometry maps), else scatter + matrix-free PCG.
+        The band check costs one device pull — cached per KF count."""
+        bc = self.config.bundle
+        if self.config.mapmaker.max_keyframes <= bc.dense_solver_max_cams:
+            return "onehot", "chol"
+        if (
+            self._band_choice is None
+            or self._band_choice[0] != self._kf_count_host
         ):
-            return
-        self.slam_map = mapmaker.thin_candidates(
-            self.slam_map, src_kf, level, cfg.mapmaker.thin_candidates_radius
-        )
-        res = mapmaker.epipolar_search(
-            self.slam_map, src_kf, target, self.cam, level, cfg
-        )
-        self.slam_map, new_mask = mapmaker.insert_new_points(
-            self.slam_map, self.cam, res, src_kf, target, level,
-            cfg.mapmaker.max_epi_candidates,
-        )
-        self.new_points = self.new_points | new_mask
+            offset = int(bundle_mod.max_pair_offset(
+                self.slam_map.meas.kf, self.slam_map.meas.valid
+            ))
+            if offset <= bc.band_halfwidth:
+                choice = ("band", "band_pcg")
+            else:
+                choice = ("scatter", "pcg")
+            self._band_choice = (self._kf_count_host, choice)
+        return self._band_choice[1]
 
-    def _refind_in_kf(self, kf_idx: int, point_mask):
+    def _dispatch_ba(self, mode: str, max_iters: int, sync: bool = False):
+        """BundleAdjustRecent/All (MapMaker.cc:801-851) as one dispatch.
+        sync=True (bootstrap) blocks on convergence, matching the
+        reference's synchronous InitFromStereo BA; otherwise the
+        convergence scalars ride the next frame_step's pending input."""
         cfg = self.config
-        mask = point_mask & ~self.never_retry[:, kf_idx]
-        self.slam_map, found, never_new = mapmaker.refind_in_keyframe(
-            self.slam_map, kf_idx, self.cam, mask, cfg
-        )
-        self.never_retry = self.never_retry.at[:, kf_idx].set(
-            self.never_retry[:, kf_idx] | never_new
-        )
-        self.failure_mask = self.failure_mask.at[:, kf_idx].set(
-            self.failure_mask[:, kf_idx] & ~found
-        )
-        return found
-
-    def _refind_batched(self, point_mask_kn):
-        """One points x keyframes refind dispatch + queue bookkeeping."""
-        mask_kn = point_mask_kn & ~self.never_retry.T
-        sm, found_kn, never_kn = mapmaker.refind_in_keyframes_batched(
-            self.slam_map, self.cam, mask_kn, self.config
-        )
-        self.slam_map = sm
-        self.never_retry = self.never_retry | never_kn.T
-        self.failure_mask = self.failure_mask & ~found_kn.T
-
-    def _refind_newly_made(self):
-        """ReFindNewlyMade (MapMaker.cc:1061-1080): all new points against
-        ALL keyframes in one jitted points x KFs stage (SURVEY §7.7) —
-        the per-keyframe host loop would be O(K) dispatches."""
-        new = self.new_points
-        self.new_points = jnp.zeros_like(new)
-        K = self.slam_map.keyframes.n_slots
-        self._refind_batched(jnp.broadcast_to(new[None], (K, new.shape[0])))
-
-    def _refind_from_failure_queue(self):
-        """ReFindFromFailureQueue (MapMaker.cc:1083-1095), same batched
-        stage with the per-keyframe pending masks."""
-        pending = self.failure_mask
-        self.failure_mask = jnp.zeros_like(self.failure_mask)
-        self._refind_batched(pending.T & self.slam_map.points.valid[None])
-
-    def _handle_bad_points(self) -> bool:
-        self.slam_map, newly_bad = mapmaker.handle_bad_points(
-            self.slam_map, self.config
-        )
-        trashed = bool(jnp.any(newly_bad))
-        if trashed:
-            self.new_points = self.new_points & ~newly_bad
-        return trashed
-
-    def _run_local_ba(self):
-        """BundleAdjustRecent (MapMaker.cc:801-851). Convergence is read
-        back one frame later (_pending_ba) — the reference's mapmaker
-        thread is equally asynchronous relative to the tracker."""
-        cfg = self.config
-        if self._kf_count_host < cfg.mapmaker.local_ba_min_kfs:
+        if (
+            mode == "local"
+            and self._kf_count_host < cfg.mapmaker.local_ba_min_kfs
+        ):
             self.recent_converged = True
-            return
-        adjust = mapmaker.local_ba_adjust_mask(
-            self.slam_map, self._newest_kf_host, cfg
+            return True
+        assembly, solver = self._solver_choice()
+        (self.slam_map, self.failure_mask, self.never_retry, conv,
+         okd) = fstep.ba_round(
+            self.slam_map, self._newest_kf_host, self.never_retry,
+            self.failure_mask, self.cam, cfg,
+            max_iters=max_iters, assembly=assembly, solver=solver,
+            mode=mode,
         )
-        conv, ok = self._run_ba(adjust, max_iters=8)
-        self._pending_ba = ("recent", conv, ok)
-
-    def _run_global_ba(self, max_iters=10, sync=True) -> bool:
-        """BundleAdjustAll. sync=True (bootstrap) blocks on the result,
-        matching the reference's synchronous InitFromStereo BA; the
-        scheduler path passes sync=False and resolves convergence on the
-        next frame's flag pull."""
-        kfs = self.slam_map.keyframes
-        adjust = kfs.valid & ~kfs.fixed
-        conv, okd = self._run_ba(adjust, max_iters=max_iters)
+        kind = "recent" if mode == "local" else "full"
         if sync:
-            pulled = np.asarray(jnp.stack([conv, okd]))
-            if not bool(pulled[1]):
-                self.reset_requested = True
-                return False
-            converged = bool(pulled[0])
-            self.full_converged = converged
-            if converged:
-                self.recent_converged = True
-            return converged
-        self._pending_ba = ("full", conv, okd)
-        return False
-
-    def _run_ba(self, adjust_mask, max_iters) -> bool:
-        cfg = self.config
-        prob = mapmaker.build_ba_problem(self.slam_map, adjust_mask, cfg)
-        # Above dense_solver_max_cams camera slots, switch to a
-        # KITTI-scale path: band Schur assembly + local CG on the block
-        # band when every co-observing pair fits the band (odometry maps
-        # — the mesh-friendly choice, one small psum per inner iteration
-        # and zero in-loop collectives), otherwise matrix-free PCG.
-        bc = cfg.bundle
-        large = prob.cam_R.shape[0] > bc.dense_solver_max_cams
-        if large:
-            offset = bundle_mod.max_pair_offset(
-                prob.meas_kf, prob.meas_valid
-            )
-            banded = offset <= bc.band_halfwidth
-            assembly = "band" if banded else "scatter"
-            solver = "band_pcg" if banded else "pcg"
-        else:
-            assembly, solver = "onehot", "chol"
-        res = bundle_mod.bundle_adjust(
-            prob, self.cam, max_iters=max_iters,
-            point_block=bc.point_block,
-            assembly=assembly, solver=solver,
-            band_halfwidth=bc.band_halfwidth,
-            cg_iters=bc.cg_iters, cg_tol=bc.cg_tol,
-            update_conv=bc.update_convergence,
-            min_sigma_sq=bc.min_tukey_sigma ** 2,
-            lambda_init=bc.lambda_init, lambda_good=bc.lambda_good,
-            lambda_factor_init=bc.lambda_factor_init,
-        )
-        sm, retry, never, died = mapmaker.apply_ba_result(
-            self.slam_map, prob, res, cfg
-        )
-        self.slam_map = sm
-        # Route ejected measurements (MapMaker.cc:917-959).
-        K = self.never_retry.shape[1]
-        retry_nk = _obs_mask_to_point_kf(retry, res, prob, K)
-        never_nk = _obs_mask_to_point_kf(never, res, prob, K)
-        self.failure_mask = self.failure_mask | retry_nk
-        self.never_retry = self.never_retry | never_nk
-        # DEVICE scalars — callers that can tolerate a one-frame lag queue
-        # them as _pending_ba instead of blocking on the transfer. `ok`
-        # False means the adjustment corrupted the map (non-finite pose or
-        # point) — the reference's negative-return reset tier
-        # (MapMaker.cc:906-915).
-        ok = jnp.all(jnp.isfinite(res.cam_t)) & jnp.all(
-            jnp.isfinite(res.points)
-        )
-        return res.converged, ok
-
-
-def _obs_mask_to_point_kf(obs_mask, res, prob, K):
-    """[N, O] measurement mask -> [N, K] point-keyframe mask."""
-    oh = jax.nn.one_hot(prob.meas_kf, K, dtype=jnp.float32)
-    return (
-        jnp.einsum("no,nok->nk", obs_mask.astype(jnp.float32), oh) > 0.5
-    )
+            pulled = np.asarray(jnp.stack([
+                conv.astype(jnp.float32), okd.astype(jnp.float32)
+            ]))
+            self._resolve_pending(kind, pulled[0] > 0.5, pulled[1] > 0.5)
+            return bool(pulled[0] > 0.5) and not self.reset_requested
+        self._pending_ba = (kind, conv, okd)
+        return None

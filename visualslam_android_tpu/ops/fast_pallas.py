@@ -184,9 +184,16 @@ def _detect_vmappable(threshold: int, arc_length: int, interpret: bool):
 
     @f.def_vmap
     def _rule(axis_size, in_batched, img):  # noqa: ANN001
-        del axis_size
         (img_batched,) = in_batched
-        assert img_batched, "custom_vmap rule without a batched input"
+        if not img_batched:
+            # vmap over some OTHER argument with a shared image: detect
+            # once and broadcast the outputs across the batch.
+            mask, score = f(img)
+            out = (
+                jnp.broadcast_to(mask[None], (axis_size, *mask.shape)),
+                jnp.broadcast_to(score[None], (axis_size, *score.shape)),
+            )
+            return out, (True, True)
         out = jax.lax.map(f, img)
         return out, (True, True)
 

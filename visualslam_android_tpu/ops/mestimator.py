@@ -77,21 +77,25 @@ def find_sigma_squared_hist(err_sq, mask=None, estimator=TUKEY,
     e = err_sq.reshape(-1)
     m = mask.reshape(-1)
     dtype = e.dtype
+    # Counts/cumsums accumulate in f32 regardless of the input dtype:
+    # with bf16/f16 errors, counts above 2048 would quantize in the
+    # input dtype and silently corrupt the median rank.
+    acc = jnp.float32
 
     if estimator == LEAST_SQUARES:
-        n = jnp.sum(m.astype(dtype))
-        s = jnp.sum(jnp.where(m, e, 0.0))
+        n = jnp.sum(m.astype(acc))
+        s = jnp.sum(jnp.where(m, e, 0.0).astype(acc))
         if axis_name is not None:
             n = lax.psum(n, axis_name)
             s = lax.psum(s, axis_name)
-        return jnp.where(n > 0, s / jnp.maximum(n, 1.0), 0.0)
+        return jnp.where(n > 0, s / jnp.maximum(n, 1.0), 0.0).astype(dtype)
 
     scale = bins / (log2_hi - log2_lo)
     l2 = jnp.log2(jnp.maximum(e, jnp.asarray(2.0, dtype) ** log2_lo))
     idx = jnp.clip(
         jnp.floor((l2 - log2_lo) * scale).astype(jnp.int32), 0, bins - 1
     )
-    hist = jnp.zeros(bins, dtype).at[idx].add(m.astype(dtype))
+    hist = jnp.zeros(bins, acc).at[idx].add(m.astype(acc))
     if axis_name is not None:
         hist = lax.psum(hist, axis_name)
 
@@ -105,14 +109,14 @@ def find_sigma_squared_hist(err_sq, mask=None, estimator=TUKEY,
     frac = jnp.clip(
         (target + 0.5 - cum_before) / jnp.maximum(hist[b], 1.0), 0.0, 1.0
     )
-    med_log2 = log2_lo + (b.astype(dtype) + frac) / scale
-    med = jnp.asarray(2.0, dtype) ** med_log2
+    med_log2 = log2_lo + (b.astype(acc) + frac) / scale
+    med = jnp.asarray(2.0, acc) ** med_log2
     med = jnp.where(n > 0, med, 0.0)
 
     nf = jnp.maximum(n, 4.0)
     sigma = 1.4826 * (1.0 + 5.0 / (2.0 * nf - 6.0)) * jnp.sqrt(med)
     sigma = _SIGMA_MULT[estimator] * sigma
-    return sigma * sigma
+    return (sigma * sigma).astype(dtype)
 
 
 def square_root_weight(err_sq, sigma_sq, estimator=TUKEY):

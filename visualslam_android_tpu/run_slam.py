@@ -49,6 +49,11 @@ def main(argv=None):
                    default="default",
                    help="force a JAX backend (overrides plugin platforms "
                         "that ignore the JAX_PLATFORMS env var)")
+    p.add_argument("--sync", action="store_true",
+                   help="synchronous per-frame results (one blocking "
+                        "device pull per frame) instead of the default "
+                        "pipelined mode, where results lag one frame and "
+                        "steady-state tracking never blocks on the link")
     args = p.parse_args(argv)
 
     # Persistent compilation cache: the jitted tracking/mapping programs
@@ -134,25 +139,34 @@ def main(argv=None):
             mapmaker=MapMakerConfig(max_keyframes=16,
                                     max_epi_candidates=128),
         )
-    sys_ = slam.SLAMSystem(config, seed=args.seed)
+    sys_ = slam.SLAMSystem(
+        config, seed=args.seed, pipelined=not args.sync
+    )
     sys_.timer.enabled = args.profile
 
     est, used_gt = [], []
+
+    def consume(res):
+        if res.frame_id < 0:
+            return  # pipelined warm-up placeholder
+        if not args.json:
+            print(
+                f"[{res.frame_id:4d}] {res.message}"
+                + ("  (lost)" if res.lost else "")
+            )
+        if res.phase == slam.PHASE_TRACKING and not res.lost:
+            est.append((res.pose_R, res.pose_t))
+            if gt_centers is not None:
+                used_gt.append(gt_centers[res.frame_id])
+
     t0 = time.perf_counter()
     with profiling.xla_trace(args.trace_dir):
         for k, img in enumerate(images):
             if k == args.init_frame or k == args.stereo_frame:
                 sys_.on_touch()
-            res = sys_.track_frame(img)
-            if not args.json:
-                print(
-                    f"[{k:4d}] {res.message}"
-                    + (f"  (lost)" if res.lost else "")
-                )
-            if res.phase == slam.PHASE_TRACKING and not res.lost:
-                est.append((res.pose_R, res.pose_t))
-                if gt_centers is not None:
-                    used_gt.append(gt_centers[k])
+            consume(sys_.track_frame(img))
+        for res in sys_.flush():
+            consume(res)
     wall = time.perf_counter() - t0
     if args.profile:
         print(sys_.timer.report())
