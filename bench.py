@@ -26,13 +26,18 @@ the one chip (the single-device form of parallel/replicated_tracking.py;
 bigger batched matmuls fill the MXU better, so aggregate fps beats
 4 sequential streams) — and (b) full-SLAM throughput (bootstrap +
 tracking + the restored mapping scheduler with keyframe adds, epipolar
-growth, refind and BA) on a 320x240 synthetic sequence, timed on a
-second warm pass.
+growth, refind and BA) at the reference's own 800x480 frame size and
+default capacities, timed on a second warm pass.
 """
 
 import json
 import os
 import time
+
+# Keep XLA C++ warnings (e.g. the harmless host machine-feature notice)
+# out of stderr so the driver's bench artifact captures only the metric
+# line (ADVICE r3 item 2). Must be set before jax/XLA initialize.
+os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
 
 import numpy as np
 
@@ -167,7 +172,9 @@ def _tracking_fps():
 
 
 def _full_slam_fps():
-    """Tracking + mapping scheduler + keyframe adds on a 60-frame synthetic
+    """Tracking + mapping scheduler + keyframe adds at the REFERENCE's
+    full frame size (800x480, jni/jni_part.cpp:41) and the DEFAULT
+    capacities (4096 points, 64 keyframes), on a 120-frame synthetic
     sequence; timed on the second (warm) pass after a cold compile pass.
 
     Runs the SLAMSystem in pipelined mode (results lag one frame; zero
@@ -175,27 +182,25 @@ def _full_slam_fps():
     configuration for a host driving the chip over a link, and the
     honest counterpart of the reference's tracker thread, which also
     never blocks on its mapmaker."""
-    from visualslam_android_tpu.config import (
-        MapMakerConfig,
-        SLAMConfig,
-        TrackerConfig,
-    )
+    from visualslam_android_tpu.config import SLAMConfig
     from visualslam_android_tpu.models import slam
     from visualslam_android_tpu.utils import datasets
 
+    import jax
+
     rng = np.random.default_rng(11)
-    n_frames = 60
+    n_frames = 120
     images, poses, centers, _, _ = datasets.make_synthetic_sequence(
-        rng, n_frames=n_frames, size=(320, 240)
+        rng, n_frames=n_frames, size=(800, 480), px_per_m=240.0
     )
-    config = SLAMConfig(
-        tracker=TrackerConfig(
-            width=320, height=240, max_map_points=512,
-            max_corners_per_level=(512, 256, 128, 64),
-            max_trails=256, min_frames_between_kfs=6,
-        ),
-        mapmaker=MapMakerConfig(max_keyframes=8, max_epi_candidates=64),
-    )
+    # Pre-stage the frames on the device (as the tracking bench does):
+    # camera ingest is input DMA, and a per-frame 1.5 MB host upload over
+    # the remote-TPU tunnel would swamp the loop being measured.
+    device = jax.devices()[0]
+    images = [
+        jax.device_put(np.asarray(im, np.float32), device) for im in images
+    ]
+    config = SLAMConfig()
 
     def run():
         sys_ = slam.SLAMSystem(config, seed=0, pipelined=True)
@@ -208,8 +213,7 @@ def _full_slam_fps():
         results.extend(sys_.flush())
         n_tracked = sum(
             1 for r in results
-            if r.frame_id >= 0 and r.phase == slam.PHASE_TRACKING
-            and not r.lost
+            if r.valid and r.phase == slam.PHASE_TRACKING and not r.lost
         )
         return n_tracked, int(sys_.slam_map.keyframes.count())
 
@@ -217,7 +221,9 @@ def _full_slam_fps():
     t0 = time.perf_counter()
     n_tracked, n_kf = run()  # warm pass
     wall = time.perf_counter() - t0
-    assert n_tracked > 30, f"full SLAM lost tracking ({n_tracked})"
+    assert n_tracked > 0.75 * n_frames, (
+        f"full SLAM lost tracking ({n_tracked}/{n_frames})"
+    )
     return n_frames / wall, n_tracked, n_kf
 
 
@@ -238,7 +244,7 @@ def main():
     try:
         slam_fps, n_tracked, n_kf = _full_slam_fps()
         extra.update({
-            "full_slam_fps_320x240": round(slam_fps, 2),
+            "full_slam_fps_800x480": round(slam_fps, 2),
             "full_slam_tracked_frames": n_tracked,
             "full_slam_keyframes": n_kf,
         })

@@ -133,6 +133,26 @@ def test_subpix_max_iters_knob(rng):
 # ---------------------------------------------------------------------------
 
 
+def test_max_kf_dist_mult_knob():
+    """NeedNewKeyFrame's distance multiplier (the port's 0.2,
+    MapMaker.cc:763-773) is a real config knob."""
+    cfg = SLAMConfig()
+    sm = map_store.empty_map(cfg)
+    kfs = sm.keyframes._replace(
+        valid=sm.keyframes.valid.at[0].set(True)
+    )
+    R = jnp.eye(3, dtype=jnp.float32)
+    t = jnp.asarray([0.5, 0.0, 0.0], jnp.float32)  # 0.5 from KF 0
+    depth = jnp.asarray(1.0, jnp.float32)
+    wiggle_norm = jnp.asarray(1.0, jnp.float32)
+    # normalized distance 0.5: mult 0.2 -> need a KF; mult 2.0 -> don't.
+    assert bool(mapmaker.need_new_keyframe(kfs, R, t, depth, wiggle_norm,
+                                           0.2))
+    assert not bool(mapmaker.need_new_keyframe(kfs, R, t, depth,
+                                               wiggle_norm, 2.0))
+    assert SLAMConfig().mapmaker.max_kf_dist_mult == 0.2
+
+
 def test_kf_distance_factor_knob():
     cfg = SLAMConfig()
     sm = map_store.empty_map(cfg)

@@ -19,6 +19,11 @@ from visualslam_android_tpu.models import slam
 from visualslam_android_tpu.ops import lie
 from visualslam_android_tpu.utils import ate, synthetic
 
+# Heavy module chain: excluded from the default per-commit run (see
+# pytest.ini tier split); run with `pytest -m slow`.
+pytestmark = pytest.mark.slow
+
+
 N_FRAMES = 200
 
 

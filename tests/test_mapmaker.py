@@ -307,3 +307,83 @@ def test_batched_refind_matches_per_kf_loop(two_kf_map):
         np.asarray(sm_seq.meas.uv)[f_any],
         np.asarray(sm_b.meas.uv)[f_any], atol=1e-5,
     )
+
+
+def test_refind_pairs_matches_batched_oracle(two_kf_map):
+    """frame_step's budgeted (point, keyframe)-pair re-find must replicate
+    the K-lane batched oracle when the pending set fits one budget."""
+    from visualslam_android_tpu.models import frame_step as fstep
+
+    config, slam_map, cam, scene, (R0, t0), (R1, t1), n = two_kf_map
+    K = slam_map.keyframes.n_slots
+    N = slam_map.points.n_slots
+    # copy: refind_newly donates slam_map, so passing points.valid
+    # itself would alias a donated buffer
+    new_points = jnp.array(slam_map.points.valid)
+    never = jnp.zeros((N, K), bool)
+    fail = jnp.zeros((N, K), bool)
+    assert int(new_points.sum()) * 2 <= config.mapmaker.refind_pair_budget
+
+    # Oracle: the full K-lane batched search (chunked vmap inside).
+    mask_kn = jnp.broadcast_to(new_points[None], (K, N)) & ~never.T
+    sm_b, found_b, never_b = mapmaker.refind_in_keyframes_batched(
+        slam_map, cam, mask_kn, config
+    )
+
+    # Donating call: hand it a private copy so the shared fixture map
+    # is not invalidated for later tests.
+    sm_copy = jax.tree.map(jnp.array, slam_map)
+    sm_p, new_out, never_p, fail_p = fstep.refind_newly(
+        sm_copy, new_points, never, fail, cam, config
+    )
+    # Queues: all pending pairs fit the budget, so the new-queue drains
+    # fully and never-retry matches the oracle's failure set.
+    assert not bool(jnp.any(new_out))
+    np.testing.assert_array_equal(
+        np.asarray(never_p), np.asarray(never_b.T)
+    )
+    # Inserted measurements: same slots, same keyframes, same positions.
+    np.testing.assert_array_equal(
+        np.asarray(sm_p.meas.valid), np.asarray(sm_b.meas.valid)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(sm_p.meas.kf), np.asarray(sm_b.meas.kf)
+    )
+    f_any = np.asarray(found_b).any(0)
+    np.testing.assert_allclose(
+        np.asarray(sm_p.meas.uv)[f_any],
+        np.asarray(sm_b.meas.uv)[f_any], atol=1e-4,
+    )
+
+
+def test_refind_pairs_budget_leaves_leftovers(two_kf_map):
+    """Over-budget pending pairs stay queued (and are processed by a
+    later dispatch) instead of being dropped."""
+    import dataclasses as _dc
+
+    from visualslam_android_tpu.models import frame_step as fstep
+
+    config, slam_map, cam, scene, _, _, n = two_kf_map
+    small = config.replace(
+        mapmaker=_dc.replace(config.mapmaker, refind_pair_budget=8)
+    )
+    N = slam_map.points.n_slots
+    K = slam_map.keyframes.n_slots
+    new_points = jnp.array(slam_map.points.valid)  # see aliasing note
+    never = jnp.zeros((N, K), bool)
+    fail = jnp.zeros((N, K), bool)
+    sm_copy = jax.tree.map(jnp.array, slam_map)
+    sm, new_out, never_out, fail_out = fstep.refind_newly(
+        sm_copy, new_points, never, fail, cam, small
+    )
+    # 8 pairs processed; the rest of the queue survives.
+    assert int(new_out.sum()) > 0
+    assert int(new_out.sum()) < int(new_points.sum())
+    # Draining: repeated dispatches terminate with an empty queue.
+    for _ in range(2 * (int(new_points.sum()) * 2 // 8 + 2)):
+        if not bool(jnp.any(new_out)):
+            break
+        sm, new_out, never_out, fail_out = fstep.refind_newly(
+            sm, new_out, never_out, fail_out, cam, small
+        )
+    assert not bool(jnp.any(new_out)), "budgeted refind never drained"

@@ -14,6 +14,11 @@ import pytest
 from visualslam_android_tpu.models import bundle, mapmaker
 from visualslam_android_tpu.utils import fixtures
 
+# Heavy module chain: excluded from the default per-commit run (see
+# pytest.ini tier split); run with `pytest -m slow`.
+pytestmark = pytest.mark.slow
+
+
 
 @pytest.fixture(scope="module")
 def big_problem():

@@ -249,19 +249,106 @@ def test_post_recovery_ate_bounded(reloc_run):
     )
 
 
-def test_corrupt_ba_requests_map_reset():
-    """Tier-3 failure recovery (MapMaker.cc:906-915): a bundle adjustment
-    that produces non-finite poses/points must request a full map reset,
-    resolved when the deferred convergence scalars come back in the next
-    frame's stats vector and performed by track_frame."""
-    sys_ = slam.SLAMSystem(_config(), seed=0)
-    # Simulate last frame's BA having corrupted the map (ok=False).
-    sys_._resolve_pending("recent", conv=False, ok=False)
-    assert sys_.reset_requested
-    # The synchronous (bootstrap) path reacts immediately.
-    sys_.reset()
+def _clone_tracking_state(src, pipelined):
+    """A fresh SLAMSystem carrying a deep COPY of `src`'s tracking state:
+    the mapping stages donate their map argument, so sharing buffers with
+    the module fixture would invalidate it for later tests."""
+    import jax
+
+    dst = slam.SLAMSystem(src.config, seed=7, pipelined=pipelined)
+    dst.slam_map = jax.tree.map(jnp.array, src.slam_map)
+    dst.phase = slam.PHASE_TRACKING
+    dst.R, dst.t = src.R, src.t
+    dst.velocity = src.velocity
+    dst._msd, dst._depth = src._msd, src._depth
+    dst._wiggle_dev = src._wiggle_dev
+    dst.sbi_last = src.sbi_last
+    dst._prev_frame = src._prev_frame
+    dst._kf_count_host = src._kf_count_host
+    dst._newest_kf_host = src._newest_kf_host
+    dst._n_points_host = src._n_points_host
+    dst.scene_depth_mean = src.scene_depth_mean
+    dst.wiggle_depth_norm = src.wiggle_depth_norm
+    dst.frame_idx = src.frame_idx
+    return dst
+
+
+@pytest.mark.parametrize("pipelined", [False, True])
+def test_corrupt_ba_requests_map_reset(slam_run, pipelined):
+    """Tier-3 failure recovery (MapMaker.cc:906-915), end to end in BOTH
+    modes: a BA over a corrupted map reports ok=False via the deferred
+    pending scalars; the next frames' track_frame calls must notice and
+    perform the full map reset THEMSELVES (no manual reset() here)."""
+    config, src, _, _ = slam_run
+    sys_ = _clone_tracking_state(src, pipelined)
+    # A corrupting BA writes back immediately (apply_ba_result); poison
+    # the map the same way, then let a real ba_round observe it and
+    # produce the deferred ok=False result.
+    pts = sys_.slam_map.points
+    kfs = sys_.slam_map.keyframes
+    nan = jnp.asarray(np.nan, jnp.float32)
+    sys_.slam_map = sys_.slam_map._replace(
+        points=pts._replace(
+            pos_w=jnp.where(pts.valid[:, None], nan, pts.pos_w)
+        ),
+        keyframes=kfs._replace(
+            t=jnp.where(kfs.valid[:, None], nan, kfs.t)
+        ),
+    )
+    sys_._dispatch_ba("global", max_iters=2)
+    assert sys_._pending_ba is not None
+
+    shape = (config.tracker.height, config.tracker.width)
+    rng2 = np.random.default_rng(5)
+    img = rng2.uniform(0, 255, shape).astype(np.float32)
+    # Frame A consumes the pending scalars (rides the stats vector in
+    # sync mode; one frame later in pipelined mode). Within two more
+    # frames the reset must have been serviced by track_frame itself.
+    sys_.track_frame(img)
+    results = [sys_.track_frame(img), sys_.track_frame(img)]
+    assert sys_.phase == slam.PHASE_NOT_STARTED, (
+        "track_frame never serviced the tier-3 map reset"
+    )
     assert not sys_.reset_requested
-    # A healthy unconverged local BA cascades into global-BA scheduling.
+    assert int(sys_.slam_map.keyframes.count()) == 0
+    assert any(r.phase == slam.PHASE_NOT_STARTED for r in results
+               if r.valid)
+
+
+def test_lost_path_resolves_pending_ba(slam_run):
+    """A deferred BA result must not vanish during a lost streak: the
+    failed-reloc path has no frame_step to carry it, so track_frame
+    resolves it synchronously there (then services the reset)."""
+    config, src, _, _ = slam_run
+    sys_ = _clone_tracking_state(src, False)
+    kfs = sys_.slam_map.keyframes
+    # Poison the keyframe SBIs so relocalization cannot succeed.
+    sys_.slam_map = sys_.slam_map._replace(
+        keyframes=kfs._replace(
+            sbi_template=jnp.full_like(kfs.sbi_template, jnp.inf)
+        )
+    )
+    sys_.lost_frames = config.tracker.max_lost_frames
+    # Simulate an unconsumed corrupting-BA result from the last frame.
+    sys_._pending_ba = (
+        "full", jnp.asarray(0.0, jnp.float32), jnp.asarray(0.0, jnp.float32)
+    )
+    shape = (config.tracker.height, config.tracker.width)
+    img = np.full(shape, 127.0, np.float32)
+    res = sys_.track_frame(img)
+    assert res.lost
+    assert sys_._pending_ba is None or sys_._pending_ba[0] is not None
+    assert sys_.reset_requested, "lost path dropped the pending BA result"
+    sys_.track_frame(img)
+    assert sys_.phase == slam.PHASE_NOT_STARTED
+
+
+def test_resolve_pending_ladder():
+    """The convergence ladder half of _resolve_pending (healthy results
+    drive the BundleAdjustRecent/All scheduling, MapMaker.cc:96-108)."""
+    sys_ = slam.SLAMSystem(_config(), seed=0)
     sys_._resolve_pending("recent", conv=False, ok=True)
     assert not sys_.reset_requested
     assert not sys_.recent_converged and not sys_.full_converged
+    sys_._resolve_pending("full", conv=True, ok=True)
+    assert sys_.recent_converged and sys_.full_converged

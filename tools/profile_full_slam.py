@@ -1,8 +1,16 @@
-"""Profile the full-SLAM loop (the bench.py _full_slam_fps config) with
-per-stage timers + a per-task breakdown of the mapmaker scheduler, to
-show where the wall-clock goes on the live backend."""
+"""Profile the full-SLAM loop (tracking + the restored mapping scheduler)
+with per-stage timers + a per-task breakdown of the mapmaker scheduler, to
+show where the wall-clock goes on the live backend.
+
+--size WxH   frame size (default 800x480 = the reference's, jni_part.cpp:41;
+             320x240 selects the shrunken r3 bench config)
+--frames N   sequence length (default 120)
+--sync       synchronous mode (default pipelined)
+--out PATH   also write the breakdown as a JSON artifact
+"""
 
 import collections
+import json
 import os
 import sys
 import time
@@ -10,6 +18,32 @@ import time
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _arg(flag, default):
+    if flag in sys.argv:
+        return sys.argv[sys.argv.index(flag) + 1]
+    return default
+
+
+def build_config(w, h):
+    from visualslam_android_tpu.config import (
+        MapMakerConfig,
+        SLAMConfig,
+        TrackerConfig,
+    )
+
+    if (w, h) == (800, 480):
+        # Reference scale: DEFAULT capacities (4096 points, 64 KFs).
+        return SLAMConfig()
+    return SLAMConfig(
+        tracker=TrackerConfig(
+            width=w, height=h, max_map_points=512,
+            max_corners_per_level=(512, 256, 128, 64),
+            max_trails=256, min_frames_between_kfs=6,
+        ),
+        mapmaker=MapMakerConfig(max_keyframes=8, max_epi_candidates=64),
+    )
 
 
 def main():
@@ -25,29 +59,27 @@ def main():
             "jax_persistent_cache_min_compile_time_secs", 1.0
         )
 
-    from visualslam_android_tpu.config import (
-        MapMakerConfig,
-        SLAMConfig,
-        TrackerConfig,
-    )
     from visualslam_android_tpu.models import slam
     from visualslam_android_tpu.utils import datasets
 
     pipelined = "--sync" not in sys.argv
+    w, h = (int(v) for v in _arg("--size", "800x480").split("x"))
+    n_frames = int(_arg("--frames", "120"))
+    out_path = _arg("--out", None)
 
     rng = np.random.default_rng(11)
-    n_frames = 60
     images, poses, centers, _, _ = datasets.make_synthetic_sequence(
-        rng, n_frames=n_frames, size=(320, 240)
+        rng, n_frames=n_frames, size=(w, h),
+        px_per_m=240.0 if w >= 640 else 140.0,
     )
-    config = SLAMConfig(
-        tracker=TrackerConfig(
-            width=320, height=240, max_map_points=512,
-            max_corners_per_level=(512, 256, 128, 64),
-            max_trails=256, min_frames_between_kfs=6,
-        ),
-        mapmaker=MapMakerConfig(max_keyframes=8, max_epi_candidates=64),
-    )
+    # Pre-stage frames on the device: camera ingest is input DMA; a
+    # per-frame 1.5 MB host upload over the remote tunnel would swamp
+    # the loop being measured.
+    device = jax.devices()[0]
+    images = [
+        jax.device_put(np.asarray(im, np.float32), device) for im in images
+    ]
+    config = build_config(w, h)
 
     task_counts = collections.Counter()
     task_times = collections.defaultdict(float)
@@ -72,7 +104,7 @@ def main():
             if k in (0, 6):
                 sys_.on_touch()
             res = sys_.track_frame(img)
-            if (res.frame_id >= 0 and res.phase == slam.PHASE_TRACKING
+            if (res.valid and res.phase == slam.PHASE_TRACKING
                     and not res.lost):
                 n_tracked += 1
         for res in sys_.flush():
@@ -82,17 +114,52 @@ def main():
 
     t0 = time.perf_counter()
     run()  # cold
-    print(f"cold pass: {time.perf_counter() - t0:.1f}s", flush=True)
+    cold = time.perf_counter() - t0
+    print(f"cold pass: {cold:.1f}s", flush=True)
+    mode = "pipelined" if pipelined else "sync"
+    # Clean warm pass FIRST: the profiled pass below adds a blocking
+    # device sync per stage (~tunnel RTT each), so its wall-clock is NOT
+    # the deployment frame rate.
+    t0 = time.perf_counter()
+    n_clean, sys_c = run()
+    wall_clean = time.perf_counter() - t0
+    fps = n_frames / wall_clean
+    print(f"warm pass ({mode}, {w}x{h}, unprofiled): "
+          f"{wall_clean:.2f}s = {fps:.2f} fps ({n_clean} tracked)")
     t0 = time.perf_counter()
     n_tracked, sys_ = run(profile=True)
     wall = time.perf_counter() - t0
-    mode = "pipelined" if pipelined else "sync"
-    print(f"warm pass ({mode}): {wall:.2f}s = {n_frames / wall:.2f} fps "
-          f"({n_tracked} tracked)")
+    print(f"profiled pass ({mode}, {w}x{h}): {wall:.2f}s = "
+          f"{n_frames / wall:.2f} fps "
+          f"({n_tracked} tracked, "
+          f"{int(sys_.slam_map.keyframes.count())} KFs, "
+          f"{int(sys_.slam_map.points.count())} points)")
     print(sys_.timer.report())
     print("\nmapmaker task breakdown (incl. device sync):")
     for k in sorted(task_times):
         print(f"  {k:<22} {task_times[k]:8.3f}s  x{task_counts.get(k, '')}")
+
+    if out_path:
+        art = {
+            "config": f"{w}x{h}, {n_frames} frames, {mode}",
+            "backend": jax.default_backend(),
+            "warm_fps_unprofiled": round(fps, 2),
+            "profiled_pass_fps": round(n_frames / wall, 2),
+            "n_tracked": n_tracked,
+            "n_keyframes": int(sys_.slam_map.keyframes.count()),
+            "n_points": int(sys_.slam_map.points.count()),
+            "stage_seconds": {
+                k: round(s["total_s"], 4)
+                for k, s in sys_.timer.summary().items()
+            },
+            "mapmaker_task_seconds": {
+                k: round(task_times[k], 4) for k in sorted(task_times)
+            },
+            "mapmaker_task_counts": dict(task_counts),
+        }
+        with open(out_path, "w") as f:
+            json.dump(art, f, indent=2)
+        print(f"\nwrote {out_path}")
 
 
 if __name__ == "__main__":

@@ -173,6 +173,10 @@ class MapMakerConfig:
     plane_inlier_threshold: float = 0.05
     # Keyframe distance heuristic: 10x wiggle, MapMaker.cc:1098-1101.
     kf_distance_factor: float = 10.0
+    # NeedNewKeyFrame: closest-KF distance (normalized by scene depth)
+    # must exceed this multiple of the wiggle depth norm — the port's
+    # "dDistance > 0.2*mdWiggleScaleDepthNormalized" (MapMaker.cc:763-773).
+    max_kf_dist_mult: float = 0.2
     # Local BA: newest KF + 4 nearest (skip if map < 8 KFs), MapMaker.cc:801-851.
     local_ba_neighbors: int = 4
     local_ba_min_kfs: int = 8
@@ -181,6 +185,12 @@ class MapMakerConfig:
     # TPU capacities.
     max_keyframes: int = 64
     max_epi_candidates: int = 256
+    # Budget of (point, keyframe) pairs one re-find dispatch processes;
+    # leftovers stay queued for the next mapping slot. Sized so one task
+    # costs about one tracking frame's patch search (the reference's
+    # analog is its mapmaker thread naturally timeslicing against the
+    # tracker core, MapMaker.cc:80-123).
+    refind_pair_budget: int = 4096
 
 
 @dataclasses.dataclass(frozen=True)

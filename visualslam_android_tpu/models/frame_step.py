@@ -46,7 +46,11 @@ from visualslam_android_tpu.models import bundle as bundle_mod
 from visualslam_android_tpu.models import keyframe as kf_mod
 from visualslam_android_tpu.models import mapmaker
 from visualslam_android_tpu.models import tracker as tracker_mod
-from visualslam_android_tpu.models.map_store import SRC_TRACKER, SLAMMap
+from visualslam_android_tpu.models.map_store import (
+    SRC_REFIND,
+    SRC_TRACKER,
+    SLAMMap,
+)
 from visualslam_android_tpu.ops import sbi as sbi_ops
 
 N_LEVELS = 4
@@ -161,7 +165,8 @@ def frame_step(
         config.mapmaker.wiggle_scale, config.mapmaker.kf_distance_factor,
     )
     need_kf = mapmaker.need_new_keyframe(
-        sm.keyframes, out.R, out.t, depth_new, wiggle_depth_norm
+        sm.keyframes, out.R, out.t, depth_new, wiggle_depth_norm,
+        config.mapmaker.max_kf_dist_mult,
     )
 
     stats = jnp.concatenate([
@@ -273,8 +278,11 @@ def _add_map_points_body(slam_map: SLAMMap, new_points, cam, src_kf,
         slam_map, src_kf, level, config.mapmaker.thin_candidates_radius
     )
     dtype = kfs.t.dtype
-    cand_xy = sm.keyframes.cand_xy[level][src_kf].astype(dtype)
-    cand_ok = sm.keyframes.cand_valid[level][src_kf] & enabled
+    cand_xy, cand_ok = mapmaker.select_top_candidates(
+        sm.keyframes.cand_xy[level][src_kf].astype(dtype),
+        sm.keyframes.cand_valid[level][src_kf] & enabled,
+        config.mapmaker.max_epi_candidates,
+    )
     res = mapmaker.epipolar_search_cands(
         sm, src_kf, target, cam, level, config, cand_xy, cand_ok
     )
@@ -299,16 +307,23 @@ def add_map_points_step(slam_map: SLAMMap, new_points, cam, src_kf,
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("config",),
+@functools.partial(jax.jit, static_argnames=("config", "grow_levels"),
                    donate_argnums=(0,))
 def integrate_keyframe(
     slam_map: SLAMMap, new_points, never_retry, failure_mask,
     frame, R, t, found, found_pos, level, subpix, slot, cam,
-    config: SLAMConfig,
+    config: SLAMConfig, grow_levels: tuple = (),
 ):
     """MakeKeyFrame_Rest + insert + SRC_TRACKER measurement registration +
-    RefreshSceneDepth + ReFindInSingleKeyFrame + AddSomeMapPoints at
-    levels 3,0,1,2 — the reference's full keyframe-integration chain."""
+    RefreshSceneDepth + ReFindInSingleKeyFrame — the first stage of the
+    reference's keyframe-integration chain (MapMaker.cc:481-506).
+
+    Epipolar growth (AddSomeMapPoints at levels 3,0,1,2) runs here only
+    for the levels in `grow_levels`; the scheduler (models/slam.py)
+    instead dispatches the four levels as four FOLLOW-UP mapping tasks,
+    so no single frame absorbs the whole integration's device time (the
+    frame-budget slicing of VERDICT r3 item 2 — the reference's analog is
+    its mapmaker thread owning a separate core)."""
     extras = kf_mod.make_frame_extras(frame, config)
     kfs = kf_mod.insert_keyframe(
         slam_map.keyframes, slot, frame, extras, R, t, fixed=False
@@ -332,8 +347,8 @@ def integrate_keyframe(
         failure_mask[:, slot] & ~found_rf
     )
 
-    # Epipolar growth, levels 3,0,1,2 (MapMaker.cc:499-502).
-    for lvl in (3, 0, 1, 2):
+    # Optional fused epipolar growth (MapMaker.cc:499-502).
+    for lvl in grow_levels:
         sm, new_points = _add_map_points_body(
             sm, new_points, cam, slot, lvl, config
         )
@@ -341,8 +356,62 @@ def integrate_keyframe(
 
 
 # ---------------------------------------------------------------------------
-# ReFindNewlyMade / ReFindFromFailureQueue (MapMaker.cc:1061-1095)
+# ReFindNewlyMade / ReFindFromFailureQueue (MapMaker.cc:1061-1095),
+# budgeted: the sparse [K, N] pending set is compacted to at most
+# refind_pair_budget (point, keyframe) pairs per dispatch, so one mapping
+# task costs ~one tracking frame's search (leftovers stay queued). The
+# K-lane vmapped form (mapmaker.refind_in_keyframes_batched) OOMs at the
+# default 800x480 capacities and remains only as the parity oracle.
 # ---------------------------------------------------------------------------
+
+
+def _pending_pairs(slam_map: SLAMMap, point_mask_kn):
+    """Fold point/keyframe validity and existing observations into the
+    [K, N] pending mask (the checks refind_in_keyframes_batched applies
+    internally)."""
+    pts, kfs, meas = slam_map.points, slam_map.keyframes, slam_map.meas
+    K = kfs.n_slots
+    already = jax.vmap(
+        lambda k: mapmaker.map_store.point_observed_in(meas, k)
+    )(jnp.arange(K))
+    return (
+        point_mask_kn & pts.live()[None] & ~already & kfs.valid[:, None]
+    )
+
+
+def _refind_pending_step(slam_map: SLAMMap, pending, cam, config):
+    """Search up to refind_pair_budget pairs of `pending` and insert the
+    found measurements (per-KF scan, same slot semantics as the batched
+    oracle). Returns (slam_map, processed_kn, found_kn)."""
+    K, N = pending.shape
+    Q = min(config.mapmaker.refind_pair_budget, K * N)
+    pk, pn = jnp.nonzero(pending, size=Q, fill_value=0)
+    pair_ok = jnp.arange(Q) < jnp.sum(pending)
+    found_q, pos_q, lvl_q, sp_q = mapmaker.refind_pairs(
+        slam_map, pn, pk, pair_ok, cam, config
+    )
+    pk_s = jnp.where(pair_ok, pk, K)  # invalid pairs scatter out of range
+
+    def scat(val, zero):
+        return zero.at[pk_s, pn].set(val, mode="drop")
+
+    processed = scat(pair_ok, jnp.zeros((K, N), bool))
+    found_kn = scat(found_q, jnp.zeros((K, N), bool))
+    pos_kn = scat(pos_q, jnp.zeros((K, N, 2), pos_q.dtype))
+    lvl_kn = scat(lvl_q, jnp.zeros((K, N), lvl_q.dtype))
+    sp_kn = scat(sp_q, jnp.zeros((K, N), bool))
+
+    def body(m, xs):
+        k, f, p, lvl, sp = xs
+        return mapmaker.add_measurements_batch(
+            m, f, k, p, lvl, SRC_REFIND, sp
+        ), None
+
+    meas, _ = jax.lax.scan(
+        body, slam_map.meas,
+        (jnp.arange(K), found_kn, pos_kn, lvl_kn, sp_kn),
+    )
+    return slam_map._replace(meas=meas), processed, found_kn
 
 
 @functools.partial(jax.jit, static_argnames=("config",),
@@ -350,17 +419,20 @@ def integrate_keyframe(
 def refind_newly(slam_map: SLAMMap, new_points, never_retry, failure_mask,
                  cam, config: SLAMConfig):
     K = slam_map.keyframes.n_slots
-    mask_kn = (
+    pending = _pending_pairs(
+        slam_map,
         jnp.broadcast_to(new_points[None], (K, new_points.shape[0]))
-        & ~never_retry.T
+        & ~never_retry.T,
     )
-    sm, found_kn, never_kn = mapmaker.refind_in_keyframes_batched(
-        slam_map, cam, mask_kn, config
+    sm, processed, found_kn = _refind_pending_step(
+        slam_map, pending, cam, config
     )
+    # A point leaves the new-queue once no processable pair remains.
+    remaining = pending & ~processed
     return (
         sm,
-        jnp.zeros_like(new_points),
-        never_retry | never_kn.T,
+        new_points & jnp.any(remaining, axis=0),
+        never_retry | (processed & ~found_kn).T,
         failure_mask & ~found_kn.T,
     )
 
@@ -369,13 +441,18 @@ def refind_newly(slam_map: SLAMMap, new_points, never_retry, failure_mask,
                    donate_argnums=(0,))
 def refind_failures(slam_map: SLAMMap, never_retry, failure_mask, cam,
                     config: SLAMConfig):
-    pending = (
-        failure_mask.T
-        & slam_map.points.valid[None]
-        & ~never_retry.T
+    pending = _pending_pairs(
+        slam_map, failure_mask.T & ~never_retry.T
     )
-    sm, found_kn, never_kn = mapmaker.refind_in_keyframes_batched(
-        slam_map, cam, pending, config
+    sm, processed, found_kn = _refind_pending_step(
+        slam_map, pending, cam, config
     )
-    # The queue is consumed wholesale; BA ejections repopulate it.
-    return sm, never_retry | never_kn.T, jnp.zeros_like(failure_mask)
+    # Processed entries are consumed whatever the outcome (BA ejections
+    # repopulate the queue); unprocessable entries (dead point, already
+    # observed, never-retry) are dropped as the wholesale-clearing
+    # oracle would; only over-budget leftovers stay queued.
+    return (
+        sm,
+        never_retry | (processed & ~found_kn).T,
+        (pending & ~processed).T,
+    )

@@ -41,6 +41,7 @@ Host-side control (queues, stage priorities) lives in slam.py.
 from __future__ import annotations
 
 import functools
+import math
 from typing import NamedTuple
 
 import jax
@@ -65,6 +66,14 @@ from visualslam_android_tpu.ops import lie, match
 from visualslam_android_tpu.ops.levels import level_scale, level_zero_pos
 
 N_LEVELS = 4
+
+# Per-row corner capacity of the epipolar search's target-corner list
+# (the fixed-shape analog of the reference's vCornerRowLUT,
+# jni/KeyFrame.cc:43-49): rows denser than this drop their rightmost
+# corners. The epipolar band is only ~2-5 level-pixels wide, so a line
+# crosses each row in a handful of pixels; 32 kept corners per row is
+# ample for the argmin to see every plausible match.
+EPI_CORNERS_PER_ROW = 32
 
 
 # ---------------------------------------------------------------------------
@@ -174,20 +183,59 @@ def add_measurements_batch(meas, point_mask, kf_idx, uv, level, source,
 def thin_candidates(slam_map: SLAMMap, kf_idx, level, radius=10):
     """Clear candidate slots of `kf_idx` at `level` that lie within
     `radius` (level coords) of an existing measurement at the same or
-    next-higher level."""
+    next-higher level.
+
+    TPU design: instead of a candidates x measurements distance matrix
+    ([C, N, O] — 268 MB at the default 800x480 capacities), scatter the
+    busy positions into a dense level-sized mask, dilate it with a disk
+    kernel of the exclusion radius (one small conv), and gather the
+    candidate positions — O(H*W) memory, identical rounded
+    circular-exclusion semantics."""
     kfs, meas = slam_map.keyframes, slam_map.meas
     scale = level_scale(level)
+    H, W = kfs.pyramid[level].shape[-2:]
     # Busy positions: measurements of this KF at level or level+1.
     busy = (
         meas.valid
         & (meas.kf == kf_idx)
         & ((meas.level == level) | (meas.level == level + 1))
     )  # [N, O]
-    busy_xy = jnp.round(meas.uv / scale)  # [N, O, 2] level coords
-    cand = kfs.cand_xy[level][kf_idx].astype(busy_xy.dtype)  # [C, 2]
-    d = cand[:, None, None, :] - busy_xy[None]  # [C, N, O, 2]
-    close = (jnp.sum(d * d, axis=-1) < radius * radius) & busy[None]
-    blocked = jnp.any(close, axis=(1, 2))  # [C]
+    busy_xy = jnp.round(meas.uv / scale).astype(jnp.int32)  # [N, O, 2]
+    # Inactive slots scatter to W/H (unambiguously out of bounds for
+    # mode="drop"; a negative sentinel could wrap).
+    bx = jnp.where(busy, jnp.clip(busy_xy[..., 0], 0, W), W).reshape(-1)
+    by = jnp.where(busy, jnp.clip(busy_xy[..., 1], 0, H), H).reshape(-1)
+    busy_mask = (
+        jnp.zeros((H, W), jnp.float32).at[by, bx].set(1.0, mode="drop")
+    )
+    r = int(radius)
+    # Circular dilation as (2r-1) row-shifted 1-D max-windows: a dense
+    # [2r+1, 2r+1] disk conv has ONE channel, which XLA:TPU cannot tile
+    # onto the MXU (measured 131 ms at 480x800 vs ~3 ms for this form).
+    # Strict d^2 < r^2 on integer offsets, exactly as the reference's
+    # squared-distance test (MapMaker.cc:404-416).
+    near = jnp.zeros((H, W), jnp.float32)
+    for dy in range(-(r - 1), r):
+        wd = math.isqrt(max(r * r - dy * dy - 1, 0))
+        if dy > 0:
+            shifted = jnp.concatenate(
+                [busy_mask[dy:], jnp.zeros((dy, W), jnp.float32)], axis=0
+            )
+        elif dy < 0:
+            shifted = jnp.concatenate(
+                [jnp.zeros((-dy, W), jnp.float32), busy_mask[:dy]], axis=0
+            )
+        else:
+            shifted = busy_mask
+        row_dil = lax.reduce_window(
+            shifted, 0.0, lax.max, (1, 2 * wd + 1), (1, 1), "SAME"
+        )
+        near = jnp.maximum(near, row_dil)
+    cand = kfs.cand_xy[level][kf_idx]  # [C, 2] int32
+    blocked = (
+        near[jnp.clip(cand[:, 1], 0, H - 1),
+             jnp.clip(cand[:, 0], 0, W - 1)] > 0.5
+    )
     new_valid = kfs.cand_valid[level].at[kf_idx].set(
         kfs.cand_valid[level][kf_idx] & ~blocked
     )
@@ -211,17 +259,35 @@ class EpipolarResult(NamedTuple):
     target_uv: jnp.ndarray   # [C, 2] level-0 subpixel target positions
 
 
+def select_top_candidates(cand_xy, cand_ok, max_n: int):
+    """Compact the `max_n` best valid candidates into a fixed slab.
+
+    Candidate slots are stored in descending Shi-Tomasi order
+    (fast.top_k_corners), so a stable valid-first argsort keeps that
+    ranking. Bounds the epipolar search's C axis BEFORE the search
+    (insert_new_points can only take max_epi_candidates successes anyway
+    — searching the full per-level candidate capacity was wasted work)."""
+    if cand_ok.shape[0] <= max_n:
+        return cand_xy, cand_ok
+    order = jnp.argsort(~cand_ok, stable=True)[:max_n]
+    return cand_xy[order], cand_ok[order]
+
+
 @functools.partial(jax.jit, static_argnames=("level", "config"))
 def epipolar_search(
     slam_map: SLAMMap, src_kf, target_kf, cam, level: int,
     config: SLAMConfig,
 ) -> EpipolarResult:
-    """Batched epipolar point search: every valid candidate of src_kf at
-    `level` against the corners of target_kf at the same level."""
+    """Batched epipolar point search: the best valid candidates of src_kf
+    at `level` (bounded to max_epi_candidates) against the corners of
+    target_kf at the same level."""
     kfs = slam_map.keyframes
     dtype = kfs.t.dtype
-    cand_xy = kfs.cand_xy[level][src_kf].astype(dtype)  # [C, 2]
-    cand_ok = kfs.cand_valid[level][src_kf]
+    cand_xy, cand_ok = select_top_candidates(
+        kfs.cand_xy[level][src_kf].astype(dtype),
+        kfs.cand_valid[level][src_kf],
+        config.mapmaker.max_epi_candidates,
+    )
     return epipolar_search_cands(
         slam_map, src_kf, target_kf, cam, level, config, cand_xy, cand_ok
     )
@@ -298,68 +364,93 @@ def epipolar_search_cands(
     )
     ok &= ~tmpl.bad
 
-    # Target corners: dense mask -> implane coords. We evaluate the ZMSSD
-    # at every corner of the target level and mask by the epipolar band
-    # (the reference caches unprojected corners, MapMaker.cc:527-540,
-    # :611-634; we unproject on the fly - it's one batched op).
+    # Target corners: a capacity-bounded corner LIST from the dense mask,
+    # scored segment-locally. The reference scans only corners near the
+    # line (implane corner cache, MapMaker.cc:527-540, ZMSSD loop
+    # :611-634); the r1-r3 design instead scored EVERY pixel of the level
+    # for every candidate — a dense [C, H, W] ZMSSD needing ~6 GB per
+    # buffer at the default 800x480 capacities, the structural blocker
+    # for full SLAM at reference scale. Here: per-corner patch statistics
+    # come from dense window sums (one gather each), the per-(candidate,
+    # corner) cross term is ONE [C, P^2] x [P^2, M] matmul on the MXU,
+    # and the epipolar band is a [C, M] mask — same argmin semantics,
+    # ~1000x less compute and O(C*M) memory.
     img_t = kfs.pyramid[level][target_kf]
     corner_mask = kfs.corner_mask[level][target_kf]
     H, W = img_t.shape
-    ys, xs = jnp.mgrid[0:H, 0:W]
-    zero_xy = level_zero_pos(
-        jnp.stack([xs, ys], -1).astype(dtype), level
-    )  # [H, W, 2]
-    implane = cam_ops.unproject(cam, zero_xy.reshape(-1, 2)).reshape(H, W, 2)
+    hp = pc_cfg.half_patch_size
+    n = 2 * hp + 1
+    n_pix = n * n
+    ys_g = jnp.arange(H)[:, None]
+    xs_g = jnp.arange(W)[None, :]
+    inb = (
+        (ys_g >= hp) & (ys_g < H - hp) & (xs_g >= hp) & (xs_g < W - hp)
+    )
+    cm = corner_mask & inb  # ZMSSD patch border (as the old border_ok)
+    # Per-ROW compaction (the fixed-capacity analog of the reference's
+    # vCornerRowLUT, KeyFrame.cc:43-49): up to EPI_CORNERS_PER_ROW corner
+    # x-positions per image row, so capacity overflow in dense texture
+    # drops corners uniformly instead of biasing one image region.
+    B = min(EPI_CORNERS_PER_ROW, W)
+    order = jnp.argsort(~cm, axis=1, stable=True)[:, :B]  # [H, B]
+    row_count = jnp.sum(cm, axis=1)  # [H]
+    cx = order.reshape(-1)
+    cy = jnp.broadcast_to(
+        jnp.arange(H)[:, None], (H, B)
+    ).reshape(-1)
+    corner_ok = (
+        jnp.arange(B)[None] < row_count[:, None]
+    ).reshape(-1)
+    M = H * B
 
-    dist_diff = norm_dist[:, None, None] - jnp.einsum(
-        "hwi,ci->chw", implane, normal
+    czero = level_zero_pos(
+        jnp.stack([cx, cy], -1).astype(dtype), level
+    )  # [M, 2]
+    implane_m = cam_ops.unproject(cam, czero)  # [M, 2]
+    dist_diff = norm_dist[:, None] - jnp.einsum(
+        "mi,ci->cm", implane_m, normal
     )
     one_px = cam_ops.one_pixel_dist(cam)
     max_dd = one_px * (4.0 + 1.0 * scale)
-    along_proj = jnp.einsum("hwi,ci->chw", implane, along)
+    along_proj = jnp.einsum("mi,ci->cm", implane_m, along)
     band = (
         (dist_diff * dist_diff <= max_dd * max_dd)
-        & (along_proj >= min_len[:, None, None])
-        & (along_proj <= max_len[:, None, None])
-        & corner_mask[None]
-    )
-    # In-image border for the ZMSSD patch.
-    hp = pc_cfg.half_patch_size
-    border_ok = (
-        (xs >= hp) & (xs < W - hp) & (ys >= hp) & (ys < H - hp)
-    )
-    band &= border_ok[None]
+        & (along_proj >= min_len[:, None])
+        & (along_proj <= max_len[:, None])
+        & corner_ok[None]
+    )  # [C, M]
 
-    # ZMSSD of each template at each banded corner. Dense [C, H, W] ZMSSD
-    # via window sums + grouped conv, as in match.find_patch_coarse but
-    # over the full level (epipolar bands span the image).
+    # Per-corner patch sums (dense window sums -> one scalar gather each)
+    # and patch pixels (integer-centered gather, as make_templates_nowarp).
     sum_i = lax.reduce_window(
-        img_t, 0.0, lax.add, (2 * hp + 1, 2 * hp + 1), (1, 1), "SAME"
+        img_t, 0.0, lax.add, (n, n), (1, 1), "SAME"
     )
     sumsq_i = lax.reduce_window(
-        img_t * img_t, 0.0, lax.add, (2 * hp + 1, 2 * hp + 1), (1, 1), "SAME"
+        img_t * img_t, 0.0, lax.add, (n, n), (1, 1), "SAME"
     )
-    cross = lax.conv_general_dilated(
-        img_t[None, None], tmpl.data[:, None], (1, 1), "SAME",
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    sum_m = sum_i[cy, cx]      # [M]
+    sumsq_m = sumsq_i[cy, cx]  # [M]
+    oy, ox = jnp.mgrid[-hp:hp + 1, -hp:hp + 1]
+    py = jnp.clip(cy[:, None] + oy.reshape(-1)[None], 0, H - 1)
+    px_ = jnp.clip(cx[:, None] + ox.reshape(-1)[None], 0, W - 1)
+    patches = img_t[py, px_]  # [M, P^2]
+    cross = jnp.einsum(
+        "cp,mp->cm", tmpl.data.reshape(C, -1), patches,
         precision=lax.Precision.HIGHEST,
-    )[0]  # [C, H, W]
-    n_pix = (2 * hp + 1) ** 2
+    )
     ssd = (
-        sumsq_i[None]
-        + tmpl.t_sumsq[:, None, None]
+        sumsq_m[None]
+        + tmpl.t_sumsq[:, None]
         - 2.0 * cross
-        - (tmpl.t_sum[:, None, None] - sum_i[None]) ** 2 / n_pix
+        - (tmpl.t_sum[:, None] - sum_m[None]) ** 2 / n_pix
     )
     max_ssd = pc_cfg.max_ssd_per_pixel * n_pix
-    ssd = jnp.where(band & ok[:, None, None], ssd, jnp.inf)
-    flat = ssd.reshape(C, -1)
-    best = jnp.argmin(flat, axis=1)
-    best_ssd = jnp.take_along_axis(flat, best[:, None], 1)[:, 0]
+    ssd = jnp.where(band & ok[:, None], ssd, jnp.inf)
+    best = jnp.argmin(ssd, axis=1)  # [C]
+    best_ssd = jnp.take_along_axis(ssd, best[:, None], 1)[:, 0]
     ok &= best_ssd < max_ssd
-    bx, by = best % W, best // W
     best_zero = level_zero_pos(
-        jnp.stack([bx, by], -1).astype(dtype), level
+        jnp.stack([cx[best], cy[best]], -1).astype(dtype), level
     )
 
     # Subpixel refinement in the target (MapMaker.cc:636-646).
@@ -632,9 +723,18 @@ def refind_in_keyframes_batched(
     slabs = match.extract_template_slabs(
         kfs.pyramid, pts.source_kf, pts.source_level, pts.center
     )
-    found, pos_zero, search_level, did_subpix = jax.vmap(
-        lambda k, a: _refind_search(slam_map, k, cam, a, config, slabs)
-    )(kf_idxs, active)
+    # Chunked vmap over the keyframe axis: a flat K-lane vmap
+    # materializes [K, N, ...] search intermediates (~GBs at the default
+    # 800x480 capacities); lax.map's batch_size bounds that to 4 lanes
+    # at a time. (frame_step's scheduler tasks use the Q-bounded
+    # refind_pairs instead; this full K x N form remains the oracle the
+    # parity tests and the sharded path check against.)
+    found, pos_zero, search_level, did_subpix = lax.map(
+        lambda ka: _refind_search(
+            slam_map, ka[0], cam, ka[1], config, slabs
+        ),
+        (kf_idxs, active), batch_size=min(4, K),
+    )
 
     def body(m, xs):
         k, f, p, lvl, sp = xs
@@ -645,6 +745,84 @@ def refind_in_keyframes_batched(
     )
     never_retry_new = active & ~found
     return slam_map._replace(meas=meas), found, never_retry_new
+
+
+def refind_pairs(slam_map: SLAMMap, pair_pt, pair_kf, pair_ok, cam,
+                 config: SLAMConfig):
+    """ReFind_Common over an EXPLICIT (point, keyframe) pair list [Q]:
+    project point pair_pt[q] into keyframe pair_kf[q], warp its template,
+    coarse-search radius 4, subpixel (8 iters) when level > 0.
+
+    This is the budgeted form of the points x keyframes re-find
+    (MapMaker.cc:1061-1095): the pending set is sparse (new points, or
+    failure-queue entries), so compacting it to Q pairs bounds one
+    dispatch's work to ~one tracking frame's search cost — instead of the
+    K-lane vmap of the full point set, whose [K, N, P, P] intermediates
+    exhaust HBM at the default 800x480 capacities (K=64, N=4096).
+
+    Returns (found, pos_zero, search_level, did_subpix), each [Q]."""
+    pts, kfs = slam_map.points, slam_map.keyframes
+    dtype = pts.pos_w.dtype
+    tc = config.tracker
+    hp = config.patch.half_patch_size
+    Q = pair_pt.shape[0]
+
+    pos_w = pts.pos_w[pair_pt]
+    R = kfs.R[pair_kf]   # [Q, 3, 3]
+    t = kfs.t[pair_kf]   # [Q, 3]
+    pc = jnp.einsum("qij,qj->qi", R, pos_w) + t
+    z_ok = pc[:, 2] > 0.001
+    safe_z = jnp.where(z_ok, pc[:, 2], 1.0)
+    m = pc[:, :2] / safe_z[:, None]
+    radius = cam_ops.largest_radius_in_image(cam)
+    r_ok = jnp.sum(m * m, -1) <= radius * radius
+    px, derivs = cam_ops.project_derivs(cam, m)
+    image_size = jnp.asarray([tc.width, tc.height], dtype)
+    in_img = (
+        (px[:, 0] >= 0) & (px[:, 1] >= 0)
+        & (px[:, 0] <= image_size[0]) & (px[:, 1] <= image_size[1])
+    )
+    proj_ok = z_ok & r_ok & in_img
+
+    motion_right = jnp.einsum("qij,qj->qi", R, pts.pixel_right_w[pair_pt])
+    motion_down = jnp.einsum("qij,qj->qi", R, pts.pixel_down_w[pair_pt])
+    warp_inv, search_level, warp_ok = match.calc_search_level_and_warp(
+        pc, motion_right, motion_down, derivs,
+        det_lo=config.patch.warp_det_lo, det_hi=config.patch.warp_det_hi,
+    )
+    active = pair_ok & proj_ok & warp_ok
+
+    slabs = match.extract_template_slabs(
+        kfs.pyramid, pts.source_kf[pair_pt], pts.source_level[pair_pt],
+        pts.center[pair_pt],
+    )
+    tmpl = match.make_templates_from_slabs(
+        slabs, pts.center[pair_pt], warp_inv, search_level, hp
+    )
+    active = active & ~tmpl.bad
+
+    # Coarse search radius 4 (MapMaker.cc:1014), each pair against its
+    # own target keyframe's level image.
+    res = match.find_patch_coarse_multilevel(
+        kfs.pyramid, kfs.corner_mask, tmpl, px, search_level,
+        jnp.full((Q,), 4.0, dtype), active, max_range=4, half_patch=hp,
+        kf_idx=pair_kf,
+    )
+    found = res.found & active
+    pos_zero = jnp.where(found[:, None], res.pos_level, px)
+
+    # Subpixel only when level > 0 (MapMaker.cc:1026-1035); the reference
+    # keeps the measurement even if subpix fails to converge (:1028).
+    sub_sel = found & (search_level > 0)
+    sp = match.iterate_subpix_multilevel(
+        kfs.pyramid, tmpl, pos_zero, search_level, sub_sel,
+        max_iters=8, half_patch=hp,
+        conv_limit=config.patch.subpix_converged, kf_idx=pair_kf,
+    )
+    pos_zero = jnp.where(
+        (sub_sel & sp.converged)[:, None], sp.pos_zero, pos_zero
+    )
+    return found, pos_zero, search_level, sub_sel
 
 
 # ---------------------------------------------------------------------------

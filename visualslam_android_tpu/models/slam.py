@@ -67,6 +67,14 @@ PHASE_TRACKING = 2
 
 @dataclasses.dataclass
 class FrameResult:
+    """Per-frame output of :meth:`SLAMSystem.track_frame`.
+
+    ``valid`` is False ONLY for the pipelined warm-up placeholder (the
+    first tracked frame's real result is still in flight; it arrives at
+    the next call or via ``flush()``). Placeholders also carry
+    ``frame_id=-1`` and identity pose — consumers must skip them when
+    counting tracked frames or accumulating trajectories."""
+
     pose_R: np.ndarray
     pose_t: np.ndarray
     quality: int
@@ -79,6 +87,7 @@ class FrameResult:
     added_keyframe: bool
     message: str
     frame_id: int = -1  # which track_frame call this result belongs to
+    valid: bool = True  # False: warm-up placeholder, not a real frame
 
 
 class SLAMSystem:
@@ -190,8 +199,13 @@ class SLAMSystem:
         # frame's scheduling.
         if self._ctx is not None:
             self._result_backlog.append(self._process_ctx())
-            if self.reset_requested:
-                self.reset()
+        # Tier-3 recovery (MapMaker.cc:906-915): a corrupting BA requests
+        # a full map reset; service it at the top of EVERY frame — sync
+        # mode resolves its pending BA inside the previous _process_ctx
+        # (after _ctx was already cleared), so the flag must be checked
+        # here unconditionally, not only on the pipelined path.
+        if self.reset_requested:
+            self.reset()
 
         fid = self.frame_idx
         self.frame_idx += 1
@@ -217,7 +231,7 @@ class SLAMSystem:
                 phase=self.phase, lost=False, did_coarse=False,
                 added_keyframe=False,
                 message="(pipelined warm-up: result pending)",
-                frame_id=-1,
+                frame_id=-1, valid=False,
             )
         return self._process_ctx()
 
@@ -287,6 +301,12 @@ class SLAMSystem:
                 )
                 success = bool(res.success)  # sync pull (rare path)
             if not success:
+                # No frame_step runs on this path, so a deferred BA
+                # result can't ride the stats vector — resolve it NOW,
+                # before _mapmaker_step can dispatch another BA over it.
+                # During a lost streak this is what notices an ok=False
+                # (map-corrupting) BA and requests the tier-3 reset.
+                self._resolve_pending_sync()
                 self.sbi_last = sbi_cur
                 self._prev_frame = frame
                 with self.timer.stage("mapmaker"):
@@ -343,12 +363,29 @@ class SLAMSystem:
             pending_kind=pending_kind, recovered=recovered, fid=fid,
         )
         if self.pipelined:
-            try:
-                out.stats.copy_to_host_async()
-            except (AttributeError, NotImplementedError):
-                pass  # backend without async copies: the pull just blocks
+            # NB deliberately no copy_to_host_async here: on the
+            # remote-TPU tunnel the async-copy REQUEST is itself a
+            # blocking RPC (~one RTT), and the later blocking pull still
+            # pays the same d2h floor — measured slower with it than
+            # without (tools/profile_full_slam.py r4).
             return None
         return self._process_ctx()
+
+    def _resolve_pending_sync(self):
+        """Consume a deferred BA result with a blocking pull (rare paths
+        only: the lost/failed-reloc frame, and a new BA dispatch racing an
+        unconsumed one). Keeps convergence updates and ok=False
+        (reset-requesting) results from vanishing when no frame_step is
+        there to carry them."""
+        if self._pending_ba is None:
+            return
+        kind, conv, okd = self._pending_ba
+        self._pending_ba = None
+        pulled = np.asarray(jnp.stack([
+            jnp.asarray(conv, jnp.float32), jnp.asarray(okd, jnp.float32)
+        ]))
+        self._resolve_pending(kind, bool(pulled[0] > 0.5),
+                              bool(pulled[1] > 0.5))
 
     def _resolve_pending(self, kind: str, conv: bool, ok: bool):
         """Deferred BA convergence resolution — the reference's negative
@@ -757,26 +794,48 @@ class SLAMSystem:
             self._mm_rng.integers(20) == 0,
         )
 
+    # Epipolar growth order after a keyframe insertion (MapMaker.cc:499-502).
+    _GROW_LEVELS = (3, 0, 1, 2)
+
     def _add_keyframe_from_queue(self):
-        """AddKeyFrameFromTopOfQueue (MapMaker.cc:481-506) — ONE jitted
-        dispatch (make-rest, measurement registration, scene depth,
-        refind-in-KF, epipolar growth at 4 levels)."""
-        entry = self.kf_queue.pop(0)
-        slot = self._kf_count_host
-        if slot >= self.config.mapmaker.max_keyframes:
-            return  # capacity full: drop (reference never hits this)
-        (self.slam_map, self.new_points, self.never_retry,
-         self.failure_mask) = fstep.integrate_keyframe(
-            self.slam_map, self.new_points, self.never_retry,
-            self.failure_mask, entry["frame"], entry["R"], entry["t"],
-            entry["found"], entry["found_pos"], entry["level"],
-            entry["subpix"], slot, self.cam, self.config,
-        )
-        self._kf_count_host = slot + 1
-        self._newest_kf_host = slot
-        self._any_new_host = True  # epipolar growth likely added points
-        self.recent_converged = False
-        self.full_converged = False
+        """AddKeyFrameFromTopOfQueue (MapMaker.cc:481-506), staged: the
+        queue entry is consumed over FIVE mapping slots — one dispatch
+        for make-rest + measurement registration + scene depth +
+        refind-in-KF, then one AddSomeMapPoints dispatch per level
+        (3,0,1,2) — so no single frame absorbs the whole integration's
+        device time. The scheduler keeps choosing TASK_ADD_KEYFRAME while
+        the entry is in the queue, matching the reference's queue-first
+        priority."""
+        entry = self.kf_queue[0]
+        stage = entry.get("stage", 0)
+        if stage == 0:
+            slot = self._kf_count_host
+            if slot >= self.config.mapmaker.max_keyframes:
+                self.kf_queue.pop(0)
+                return  # capacity full: drop (reference never hits this)
+            (self.slam_map, self.new_points, self.never_retry,
+             self.failure_mask) = fstep.integrate_keyframe(
+                self.slam_map, self.new_points, self.never_retry,
+                self.failure_mask, entry["frame"], entry["R"], entry["t"],
+                entry["found"], entry["found_pos"], entry["level"],
+                entry["subpix"], slot, self.cam, self.config,
+            )
+            # Free the staged frame data; only the slot survives for the
+            # four growth dispatches.
+            entry.clear()
+            entry.update(stage=1, slot=slot)
+            self._kf_count_host = slot + 1
+            self._newest_kf_host = slot
+            self.recent_converged = False
+            self.full_converged = False
+        else:
+            self._add_some_map_points(
+                entry["slot"], self._GROW_LEVELS[stage - 1]
+            )
+            if stage == len(self._GROW_LEVELS):
+                self.kf_queue.pop(0)
+            else:
+                entry["stage"] = stage + 1
 
     def _add_some_map_points(self, src_kf: int, level: int):
         """AddSomeMapPoints (MapMaker.cc:427-437) — bootstrap-path entry;
@@ -836,5 +895,8 @@ class SLAMSystem:
             ]))
             self._resolve_pending(kind, pulled[0] > 0.5, pulled[1] > 0.5)
             return bool(pulled[0] > 0.5) and not self.reset_requested
+        # Never overwrite an unconsumed deferred result (it would drop a
+        # convergence update — or an ok=False reset request — silently).
+        self._resolve_pending_sync()
         self._pending_ba = (kind, conv, okd)
         return None

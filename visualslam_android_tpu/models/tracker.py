@@ -130,17 +130,6 @@ def _point_jacobian(pc, derivs):
 # ---------------------------------------------------------------------------
 
 
-def _make_all_templates(slam_map: SLAMMap, warp_inv, search_level, half_patch):
-    """Warped templates for every point in one fused pass: per-source-level
-    slab extraction, a single separable-bilinear resample (see
-    match.make_templates_warped_multilevel)."""
-    pts = slam_map.points
-    return match.make_templates_warped_multilevel(
-        slam_map.keyframes.pyramid, pts.source_kf, pts.source_level,
-        pts.center, warp_inv, search_level, half_patch,
-    )
-
-
 def _search_multi_level(
     frame: FrameData, templates, pred_zero, search_level, active,
     radius_zero, max_range: int, subpix_mask, subpix_iters: int,
@@ -226,6 +215,13 @@ def track_map(
     live = pts.live()
 
     # ---- PVS (Tracker.cc:369-392) ----
+    # Cheap per-slot math ([N] einsums) runs over the full capacity; every
+    # EXPENSIVE stage below (slab extraction, warped templates, window
+    # ZMSSD, subpixel, GN reprojection) runs on a COMPACTED lane block of
+    # C coarse + F fine slots, so tracking cost follows the reference's
+    # own <=1000-patch budget (Tracker.cc:516-527) instead of the map
+    # capacity. The searched set was always <= that budget — the masks
+    # just used to carry N-C-F dead lanes through the heavy stages.
     pc, px, derivs, proj_ok = project_points(cam, pts.pos_w, R, t, image_size)
     motion_right = jnp.einsum("ij,nj->ni", R, pts.pixel_right_w)
     motion_down = jnp.einsum("ij,nj->ni", R, pts.pixel_down_w)
@@ -235,10 +231,6 @@ def track_map(
     )
     pvs = live & proj_ok & warp_ok
     sqrt_inv_noise = 1.0 / (2.0 ** search_level.astype(dtype))
-
-    # ---- Templates for all PVS points ----
-    templates = _make_all_templates(slam_map, warp_inv, search_level, 5)
-    pvs = pvs & ~templates.bad
 
     # ---- Coarse set selection (Tracker.cc:423-466) ----
     key, k1, k2 = jax.random.split(key, 3)
@@ -262,46 +254,11 @@ def track_map(
     ) & (n_high > tc.coarse_min)
     coarse_sel = jnp.zeros(N, bool).at[top_idx].set(True) & high & try_coarse
 
-    # ---- Coarse search + 10 GN iterations (Tracker.cc:462-490) ----
-    # The wide-range (30 px) search only ever runs on <= coarse_max points,
-    # so compact the selected subset into a dense [C] block (row gathers),
-    # search there, and scatter results back to the full point set.
-    take = functools.partial(jnp.take, indices=top_idx, axis=0)
-    c_templates = match.Templates(*(take(f) for f in templates))
-    c_active = take(high) & try_coarse
-    cc_found, cc_pos, cc_subpix = _search_multi_level(
-        frame, c_templates, take(px), take(search_level), c_active,
-        jnp.full((C,), float(coarse_range), dtype),
-        coarse_range, jnp.ones(C, bool), tc.coarse_sub_pix_its,
-        subpix_conv=config.patch.subpix_converged,
-    )
-    c_found = jnp.zeros(N, bool).at[top_idx].set(cc_found) & coarse_sel
-    c_pos = px.at[top_idx].set(cc_pos)
-    c_subpix = jnp.zeros(N, bool).at[top_idx].set(cc_subpix) & coarse_sel
-    n_coarse_found = jnp.sum(c_found)
-    did_coarse = try_coarse & (n_coarse_found >= tc.coarse_min)
-
-    def coarse_gn(i, Rt):
-        Rc, tcur = Rt
-        pc_i = jnp.einsum("ij,nj->ni", Rc, pts.pos_w) + tcur
-        safe_z = jnp.where(pc_i[:, 2] > 1e-6, pc_i[:, 2], 1.0)
-        m = pc_i[:, :2] / safe_z[:, None]
-        px_i, derivs_i = cam_ops.project_derivs(cam, m)
-        jac = _point_jacobian(pc_i, derivs_i)
-        err = c_pos - px_i
-        override = jnp.where(i > 5, jnp.asarray(1.0, dtype), 0.0)
-        upd, _ = _calc_pose_update(
-            err, jac, sqrt_inv_noise, c_found & did_coarse, override,
-            prior=tc.pose_prior,
-        )
-        dR, dt = lie.se3_exp(upd)
-        return lie.se3_mul(dR, dt, Rc, tcur)
-
-    R1, t1 = jax.lax.fori_loop(0, tc.pose_update_iters, coarse_gn, (R, t))
-
-    # ---- Fine stage selection (Tracker.cc:495-538) ----
-    fine_range = jnp.where(did_coarse, float(tc.fine_range_rest),
-                           float(tc.fine_range_top))
+    # ---- Fine set selection (Tracker.cc:495-538) ----
+    # Selection happens BEFORE template generation (as in the reference,
+    # where MakeTemplate runs inside SearchForPoints on the already-chosen
+    # points); bad-template lanes are dropped from `found`/`attempted`
+    # afterwards.
     top_level = pvs & (search_level == N_LEVELS - 1) & ~coarse_sel
     rest = pvs & (search_level < N_LEVELS - 1) & ~coarse_sel
     n_so_far = jnp.sum(coarse_sel) + jnp.sum(top_level)
@@ -313,80 +270,174 @@ def track_map(
         jnp.arange(N, dtype=jnp.int32)
     )
     rest_sel = rest & (rank_of < budget)
-
-    # Re-project everything at the post-coarse pose (reference reprojects
-    # fine points if coarse ran; and L3 points always, Tracker.cc:497-534).
-    pc2 = jnp.einsum("ij,nj->ni", R1, pts.pos_w) + t1
-    safe_z2 = jnp.where(pc2[:, 2] > 1e-6, pc2[:, 2], 1.0)
-    m2 = pc2[:, :2] / safe_z2[:, None]
-    px2, derivs2 = cam_ops.project_derivs(cam, m2)
-
     f_active = top_level | rest_sel
-    subpix_mask = f_active if tc.subpix_all_levels else top_level
-    f_found, f_pos, f_subpix = _search_multi_level(
-        frame, templates, px2, search_level, f_active,
-        jnp.where(f_active, fine_range, 0.0),
-        tc.fine_range_top, subpix_mask, 8,  # 8 its (Tracker.cc:505)
+
+    # Compact the fine set into F lanes (actives first, random order).
+    F = min(N, -(-(tc.max_patches_per_frame + 256) // 256) * 256)
+    fine_lane_key = jnp.where(f_active, 1.0 + rand2, rand2 - 2.0)
+    _, fine_idx = jax.lax.top_k(fine_lane_key, F)
+    f_lane_on = f_active[fine_idx]  # [F]
+
+    # ---- Templates for the C + F searched lanes only ----
+    u_idx = jnp.concatenate([top_idx, fine_idx])  # [U]; blocks may only
+    # overlap when try_coarse is False (then the coarse block is inactive)
+    templates_u = match.make_templates_warped_multilevel(
+        slam_map.keyframes.pyramid, pts.source_kf[u_idx],
+        pts.source_level[u_idx], pts.center[u_idx],
+        warp_inv[u_idx], search_level[u_idx], 5,
+    )
+    c_templates = match.Templates(*(f[:C] for f in templates_u))
+    f_templates = match.Templates(*(f[C:] for f in templates_u))
+
+    # ---- Coarse search + 10 GN iterations (Tracker.cc:462-490) ----
+    take = functools.partial(jnp.take, indices=top_idx, axis=0)
+    c_lane_sel = take(coarse_sel)  # = take(high) & try_coarse
+    cc_found, cc_pos, cc_subpix = _search_multi_level(
+        frame, c_templates, take(px), take(search_level),
+        c_lane_sel,
+        jnp.full((C,), float(coarse_range), dtype),
+        coarse_range, jnp.ones(C, bool), tc.coarse_sub_pix_its,
         subpix_conv=config.patch.subpix_converged,
     )
+    cc_found = cc_found & c_lane_sel & ~c_templates.bad
+    n_coarse_found = jnp.sum(cc_found)
+    did_coarse = try_coarse & (n_coarse_found >= tc.coarse_min)
 
-    # ---- Combined iteration set ----
-    in_set = coarse_sel | f_active
-    found = jnp.where(coarse_sel, c_found, f_found) & in_set
-    found_pos = jnp.where(coarse_sel[:, None], c_pos, f_pos)
-    did_subpix = jnp.where(coarse_sel, c_subpix, f_subpix)
+    pos_w_c = take(pts.pos_w)
+    sin_c = take(sqrt_inv_noise)
+
+    def coarse_gn(i, Rt):
+        Rc, tcur = Rt
+        pc_i = jnp.einsum("ij,nj->ni", Rc, pos_w_c) + tcur
+        safe_z = jnp.where(pc_i[:, 2] > 1e-6, pc_i[:, 2], 1.0)
+        m = pc_i[:, :2] / safe_z[:, None]
+        px_i, derivs_i = cam_ops.project_derivs(cam, m)
+        jac = _point_jacobian(pc_i, derivs_i)
+        err = cc_pos - px_i
+        override = jnp.where(i > 5, jnp.asarray(1.0, dtype), 0.0)
+        upd, _ = _calc_pose_update(
+            err, jac, sin_c, cc_found & did_coarse, override,
+            prior=tc.pose_prior,
+        )
+        dR, dt = lie.se3_exp(upd)
+        return lie.se3_mul(dR, dt, Rc, tcur)
+
+    R1, t1 = jax.lax.fori_loop(0, tc.pose_update_iters, coarse_gn, (R, t))
+
+    # ---- Fine search on the F lanes (Tracker.cc:495-538) ----
+    fine_range = jnp.where(did_coarse, float(tc.fine_range_rest),
+                           float(tc.fine_range_top))
+    pos_w_u = pts.pos_w[u_idx]
+    sin_u = sqrt_inv_noise[u_idx]
+    level_u = search_level[u_idx]
+
+    # Re-project the searched lanes at the post-coarse pose (reference
+    # reprojects fine points if coarse ran; L3 always, Tracker.cc:497-534).
+    pc2_u = jnp.einsum("ij,nj->ni", R1, pos_w_u) + t1
+    safe_z2 = jnp.where(pc2_u[:, 2] > 1e-6, pc2_u[:, 2], 1.0)
+    m2 = pc2_u[:, :2] / safe_z2[:, None]
+    px2_u, derivs2_u = cam_ops.project_derivs(cam, m2)
+
+    subpix_lane = (
+        f_lane_on if tc.subpix_all_levels
+        else f_lane_on & (level_u[C:] == N_LEVELS - 1)
+    )
+    f_found, f_pos, f_subpix = _search_multi_level(
+        frame, f_templates, px2_u[C:], level_u[C:], f_lane_on,
+        jnp.where(f_lane_on, fine_range, 0.0),
+        tc.fine_range_top, subpix_lane, 8,  # 8 its (Tracker.cc:505)
+        subpix_conv=config.patch.subpix_converged,
+    )
+    f_found = f_found & f_lane_on & ~f_templates.bad
+
+    # ---- Combined iteration set over the U lanes ----
+    in_set_u = jnp.concatenate([c_lane_sel, f_lane_on])
+    found_u = jnp.concatenate([cc_found, f_found])
+    found_pos_u = jnp.concatenate([cc_pos, f_pos], axis=0)
+    did_subpix_u = jnp.concatenate([cc_subpix & cc_found, f_subpix])
 
     # ---- Fine 10 GN iterations with linear updates (Tracker.cc:543-577) --
     Rf, tf = R1, t1
-    v_image = px2
-    jac = _point_jacobian(pc2, derivs2)
+    v_image = px2_u
+    jac = _point_jacobian(pc2_u, derivs2_u)
     last_update = jnp.zeros(6, dtype)
-    inlier_inc = jnp.zeros(N, jnp.int32)
-    outlier_inc = jnp.zeros(N, jnp.int32)
+    inlier_inc_u = jnp.zeros(C + F, jnp.int32)
+    outlier_inc_u = jnp.zeros(C + F, jnp.int32)
     for it in range(tc.pose_update_iters):
         nonlinear = it in (0, 4, tc.pose_update_iters - 1)
         if it != 0:
             if nonlinear:
-                pc_i = jnp.einsum("ij,nj->ni", Rf, pts.pos_w) + tf
+                pc_i = jnp.einsum("ij,nj->ni", Rf, pos_w_u) + tf
                 safe_z = jnp.where(pc_i[:, 2] > 1e-6, pc_i[:, 2], 1.0)
                 m_i = pc_i[:, :2] / safe_z[:, None]
                 v_image, derivs_i = cam_ops.project_derivs(cam, m_i)
                 jac = _point_jacobian(pc_i, derivs_i)
             else:
                 v_image = v_image + jnp.einsum("nrj,j->nr", jac, last_update)
-        err = found_pos - v_image
+        err = found_pos_u - v_image
         override = 16.0 if it > 5 else 0.0
         mark = it == tc.pose_update_iters - 1
         upd, w = _calc_pose_update(
-            err, jac, sqrt_inv_noise, found, jnp.asarray(override, dtype),
+            err, jac, sin_u, found_u, jnp.asarray(override, dtype),
             prior=tc.pose_prior,
         )
         if mark:
-            outlier_inc = jnp.where(found & (w == 0.0), 1, 0)
-            inlier_inc = jnp.where(found & (w > 0.0), 1, 0)
+            outlier_inc_u = jnp.where(found_u & (w == 0.0), 1, 0)
+            inlier_inc_u = jnp.where(found_u & (w > 0.0), 1, 0)
         dR, dt = lie.se3_exp(upd)
         Rf, tf = lie.se3_mul(dR, dt, Rf, tf)
         last_update = upd
 
     # ---- Accounting (attempted/found per level; Tracker.cc:645-656) ----
-    attempted = in_set & ~templates.bad
+    attempted_u = in_set_u & ~templates_u.bad
     att_l = jnp.stack(
-        [jnp.sum((attempted & (search_level == l)).astype(jnp.int32))
+        [jnp.sum((attempted_u & (level_u == l)).astype(jnp.int32))
          for l in range(N_LEVELS)]
     )
     fnd_l = jnp.stack(
-        [jnp.sum((found & (search_level == l)).astype(jnp.int32))
+        [jnp.sum((found_u & (level_u == l)).astype(jnp.int32))
          for l in range(N_LEVELS)]
     )
 
     # ---- Scene depth from tracked features (Tracker.cc:609-625) ----
-    pc_f = jnp.einsum("ij,nj->ni", Rf, pts.pos_w) + tf
+    pc_f = jnp.einsum("ij,nj->ni", Rf, pos_w_u) + tf
     zf = pc_f[:, 2]
-    wf = found.astype(dtype)
+    wf = found_u.astype(dtype)
     nf = jnp.sum(wf)
     mean = jnp.sum(wf * zf) / jnp.maximum(nf, 1.0)
     sq = jnp.sum(wf * zf * zf) / jnp.maximum(nf, 1.0)
     sigma = jnp.sqrt(jnp.maximum(sq - mean * mean, 1e-12))
+
+    # ---- Scatter lane results back to the N point slots ----
+    # The two blocks' active sets are disjoint ON POINTS (fine excludes
+    # coarse_sel; when try_coarse is False the coarse block is inactive),
+    # so per-block masked scatters compose in either order.
+    def scatter(base, idx, val, lane_on):
+        cur = base[idx]
+        m = lane_on if cur.ndim == 1 else lane_on[:, None]
+        return base.at[idx].set(jnp.where(m, val, cur))
+
+    found = jnp.zeros(N, bool)
+    found = scatter(found, fine_idx, f_found, f_lane_on)
+    found = scatter(found, top_idx, cc_found, c_lane_sel)
+    found_pos = px
+    found_pos = scatter(found_pos, fine_idx, f_pos, f_lane_on)
+    found_pos = scatter(found_pos, top_idx, cc_pos, c_lane_sel)
+    did_subpix = jnp.zeros(N, bool)
+    did_subpix = scatter(did_subpix, fine_idx, f_subpix, f_lane_on)
+    did_subpix = scatter(
+        did_subpix, top_idx, cc_subpix & cc_found, c_lane_sel
+    )
+    inlier_inc = jnp.zeros(N, jnp.int32)
+    inlier_inc = scatter(inlier_inc, fine_idx, inlier_inc_u[C:], f_lane_on)
+    inlier_inc = scatter(inlier_inc, top_idx, inlier_inc_u[:C], c_lane_sel)
+    outlier_inc = jnp.zeros(N, jnp.int32)
+    outlier_inc = scatter(
+        outlier_inc, fine_idx, outlier_inc_u[C:], f_lane_on
+    )
+    outlier_inc = scatter(
+        outlier_inc, top_idx, outlier_inc_u[:C], c_lane_sel
+    )
 
     return TrackOutputs(
         R=Rf, t=tf,

@@ -464,7 +464,7 @@ def find_patch_coarse(
 def find_patch_coarse_multilevel(
     pyramid, corner_masks, templates: Templates, pred_zero, search_level,
     radius_zero, active, max_range: int, half_patch: int = 5,
-    max_ssd_per_px: int = 500,
+    max_ssd_per_px: int = 500, kf_idx=None,
 ):
     """FindPatchCoarse over ALL search levels in one pass: per-level masked
     window extraction (dynamic_slice) into a unified static window, then a
@@ -479,6 +479,10 @@ def find_patch_coarse_multilevel(
     Replaces four per-level find_patch_coarse calls (each evaluating all N
     points) with one: windows for each point come from its OWN level image,
     high-level images padded so the unified window always fits.
+
+    With kf_idx [N], `pyramid`/`corner_masks` entries are KEYFRAME STACKS
+    [K, H_l, W_l] and each point searches its own target frame — the
+    (point, keyframe)-pair form mapmaker.refind_pairs runs on.
     """
     N = templates.data.shape[0]
     P = 2 * half_patch + 1
@@ -501,11 +505,11 @@ def find_patch_coarse_multilevel(
         sel = active & (search_level == lvl)
         img = pyramid[lvl]
         msk = corner_masks[lvl].astype(dtype)
-        H, W = img.shape
+        H, W = img.shape[-2:]
         pred_l = level_n_pos(pred_zero, lvl)
         origin = jnp.round(pred_l).astype(jnp.int32) - win_half
-        w, b = img_ops.extract_regions(img, None, origin, Wn)
-        m, _ = img_ops.extract_regions(msk, None, origin, Wn)
+        w, b = img_ops.extract_regions(img, kf_idx, origin, Wn)
+        m, _ = img_ops.extract_regions(msk, kf_idx, origin, Wn)
         windows = jnp.where(sel[:, None, None], w, windows)
         mask_windows = jnp.where(sel[:, None, None], m, mask_windows)
         bases = jnp.where(sel[:, None], b, bases)
@@ -678,6 +682,7 @@ SUBPIX_TRAVEL = 6
 def iterate_subpix_multilevel(
     pyramid, templates: Templates, pos_zero, search_level, active,
     max_iters: int = 10, half_patch: int = 5, conv_limit: float = 0.03,
+    kf_idx=None,
 ):
     """IterateSubPixToConvergence over ALL search levels in one pass.
 
@@ -685,6 +690,9 @@ def iterate_subpix_multilevel(
     single fixed-iteration inverse-composition loop for every point at
     once, sampling with separable-bilinear matmuls inside each point's own
     slab (no per-element gathers, no per-level loop replays).
+
+    With kf_idx [N], `pyramid` entries are keyframe stacks [K, H_l, W_l]
+    and each point refines inside its own target frame.
     """
     P = 2 * half_patch + 1
     N = pos_zero.shape[0]
@@ -701,10 +709,10 @@ def iterate_subpix_multilevel(
     for lvl in range(len(pyramid)):
         sel = active & (search_level == lvl)
         img = pyramid[lvl]
-        H, W = img.shape
+        H, W = img.shape[-2:]
         center_l = (pos_zero + 0.5) / (1 << lvl) - 0.5  # LevelNPos
         origin = jnp.round(center_l).astype(jnp.int32) - slab_half
-        sl, b = img_ops.extract_regions(img, None, origin, slab)
+        sl, b = img_ops.extract_regions(img, kf_idx, origin, slab)
         slabs = jnp.where(sel[:, None, None], sl, slabs)
         bases = jnp.where(sel[:, None], b, bases)
         dims = jnp.where(sel[:, None], jnp.asarray([W, H], dtype), dims)

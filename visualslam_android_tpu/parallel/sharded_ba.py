@@ -120,19 +120,17 @@ def comm_bytes_per_lm_step(K, N_global, O, solver="pcg", cg_iters=250,
     return b
 
 
-def sharded_bundle_adjust(
+def sharded_bundle_adjust_jit(
     prob: BAProblem, cam, mesh: Mesh,
     max_iters: int = 20, point_block: int = 1024,
     assembly: str = "onehot", solver: str = "chol",
     cg_iters: int = 250, cg_tol: float = 1e-6,
     **ba_kwargs,
-) -> BAResult:
-    """Run bundle_adjust with points/measurements sharded over `mesh`.
-
-    Output point-side arrays come back fully assembled (the mesh axis is
-    all-gathered by the out sharding); camera-side and scalar outputs are
-    replicated and identical on every device.
-    """
+):
+    """The jitted sharded-BA step and its padded problem, NOT yet run —
+    so callers can also `.lower(...).compile()` it and inspect the HLO
+    XLA actually emitted (tools/measure_ba_scaling.py audits the
+    collective ops/bytes against the analytic comm model this way)."""
     axis = mesh.axis_names[0]
     n_dev = mesh.devices.size
     prob = pad_problem(prob, n_dev)
@@ -164,4 +162,25 @@ def sharded_bundle_adjust(
         out_specs=out_specs,
         check_rep=False,
     )
-    return jax.jit(fn)(prob, cam)
+    return jax.jit(fn), prob
+
+
+def sharded_bundle_adjust(
+    prob: BAProblem, cam, mesh: Mesh,
+    max_iters: int = 20, point_block: int = 1024,
+    assembly: str = "onehot", solver: str = "chol",
+    cg_iters: int = 250, cg_tol: float = 1e-6,
+    **ba_kwargs,
+) -> BAResult:
+    """Run bundle_adjust with points/measurements sharded over `mesh`.
+
+    Output point-side arrays come back fully assembled (the mesh axis is
+    all-gathered by the out sharding); camera-side and scalar outputs are
+    replicated and identical on every device.
+    """
+    fn, padded = sharded_bundle_adjust_jit(
+        prob, cam, mesh, max_iters=max_iters, point_block=point_block,
+        assembly=assembly, solver=solver, cg_iters=cg_iters,
+        cg_tol=cg_tol, **ba_kwargs,
+    )
+    return fn(padded, cam)

@@ -207,8 +207,13 @@ def sharded_epipolar_search(
     dtype = kfs.t.dtype
 
     src_kf = jnp.asarray(src_kf, jnp.int32)
-    cand_xy = kfs.cand_xy[level][src_kf].astype(dtype)
-    cand_ok = kfs.cand_valid[level][src_kf]
+    # Same top-candidate bounding as the unsharded epipolar_search (the
+    # parity contract), applied BEFORE the candidate axis is sharded.
+    cand_xy, cand_ok = mapmaker.select_top_candidates(
+        kfs.cand_xy[level][src_kf].astype(dtype),
+        kfs.cand_valid[level][src_kf],
+        config.mapmaker.max_epi_candidates,
+    )
     C = cand_xy.shape[0]
     pad = (-C) % n_dev
     if pad:

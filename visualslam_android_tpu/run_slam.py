@@ -147,8 +147,8 @@ def main(argv=None):
     est, used_gt = [], []
 
     def consume(res):
-        if res.frame_id < 0:
-            return  # pipelined warm-up placeholder
+        if not res.valid:
+            return  # pipelined warm-up placeholder (FrameResult.valid)
         if not args.json:
             print(
                 f"[{res.frame_id:4d}] {res.message}"

@@ -133,9 +133,11 @@ def iter_images(seq: Sequence, use_native: bool = True
 
 
 def make_synthetic_sequence(rng, n_frames=60, size=(320, 240), depth=4.0,
-                            motion_scale=1.0):
+                            motion_scale=1.0, px_per_m=140.0):
     """Rendered planar sequence with ground truth (used when no dataset
-    exists on disk; drives BASELINE config-1-style runs)."""
+    exists on disk; drives BASELINE config-1-style runs). px_per_m sets
+    the scene texture density — raise it for reference-scale (800x480)
+    frames so per-pixel gradients stay strong."""
     import jax.numpy as jnp
 
     from visualslam_android_tpu.config import CameraConfig
@@ -144,7 +146,7 @@ def make_synthetic_sequence(rng, n_frames=60, size=(320, 240), depth=4.0,
     from visualslam_android_tpu.utils import synthetic
 
     cam = cam_ops.make_camera(CameraConfig().params(), size[0], size[1])
-    scene = synthetic.make_planar_scene(rng, depth=depth, px_per_m=140.0)
+    scene = synthetic.make_planar_scene(rng, depth=depth, px_per_m=px_per_m)
     R0, t0 = synthetic.look_at_pose((0.0, 0.0, 0.0), target=(0, 0, depth))
 
     images, poses = [], []
