@@ -264,6 +264,56 @@ def _band_to_dense(S_band, K, band: int):
     ].add(vals.reshape(-1, 6, 6))
 
 
+def _halo_reduce_gather(x, axis_name, rows: int, halo: int):
+    """Locality-aware replacement for `psum(x)` when each device's
+    contributions to the camera-indexed array x [K, F] are confined to
+    rows [k0, k1 + halo) of its OWN contiguous camera block [k0, k1)
+    (points packed by min observing camera — pack_problem_camblock in
+    parallel/sharded_ba.py). Then the only cross-device overlap is the
+    `halo`-row strip a device spills into its RIGHT neighbor's block, so
+    the full-payload ring all-reduce (2(D-1)/D · K·F bytes on the wire)
+    collapses to ONE one-directional ppermute of the strip (halo·F)
+    plus a tiled all-gather of the owned rows ((D-1)/D · K·F) — ~2.4x
+    less wire traffic, and the big win is composing it with the
+    symmetric-half band trick (_gather_band_sym) which halves K·F too.
+
+    The reference assembles this same reduced system serially in one
+    address space (jni/Bundle.cc:353-437); the halo structure is the
+    TPU-native expression of its camera-pair locality ("scripts" over
+    temporally-near keyframes)."""
+    D = lax.psum(1, axis_name)
+    if rows * D != x.shape[0] or halo > rows:
+        raise ValueError(
+            f"halo reduce needs K == rows*D and halo <= rows; got "
+            f"K={x.shape[0]}, rows={rows}, D={D}, halo={halo}"
+        )
+    idx = lax.axis_index(axis_name)
+    strip = lax.dynamic_slice_in_dim(x, (idx + 1) * rows, halo)
+    recv = lax.ppermute(
+        strip, axis_name, perm=[(d, d + 1) for d in range(D - 1)]
+    )
+    own = lax.dynamic_slice_in_dim(x, idx * rows, rows)
+    own = own.at[:halo].add(recv)
+    return lax.all_gather(own, axis_name, axis=0, tiled=True)
+
+
+def _band_lower_from_upper(S_half, band: int):
+    """Reconstruct the full block band [K, 2*band+1, 6, 6] from its
+    upper half S_half [K, band+1, 6, 6] (offsets 0..band) using block
+    symmetry S[i, i-d] = S[i-d, i]^T — so only the half band ever rides
+    the interconnect."""
+    K = S_half.shape[0]
+    dd = jnp.arange(band)            # dense column 0..band-1
+    delta = band - dd                # positive offset band..1
+    src_i = jnp.arange(K)[:, None] - delta[None, :]     # [K, band]
+    vals = S_half[jnp.clip(src_i, 0, K - 1), delta]     # [K, band, 6, 6]
+    vals = jnp.where(
+        (src_i >= 0)[..., None, None],
+        jnp.swapaxes(vals, -1, -2), 0.0,
+    )
+    return jnp.concatenate([vals, S_half], axis=1)
+
+
 def max_pair_offset(meas_kf, meas_valid) -> int:
     """Largest |i - j| over co-observing camera pairs (host-side helper
     for choosing assembly='band'). NumPy, not traced."""
@@ -396,6 +446,7 @@ def _band_pcg_solve(U_star, S_band, free, band: int, b,
         "assembly", "solver", "cg_iters", "cg_tol",
         "update_conv", "min_sigma_sq", "lambda_init", "lambda_good",
         "lambda_factor_init", "band_halfwidth", "sigma_mode",
+        "reduce_mode", "shard_rows",
     ),
 )
 def bundle_adjust(
@@ -409,6 +460,8 @@ def bundle_adjust(
     lambda_factor_init: float = 2.0,
     band_halfwidth: int = 16,
     sigma_mode: str = "gather",
+    reduce_mode: str = "psum",
+    shard_rows: int = 0,
 ) -> BAResult:
     """Full Bundle::Compute (Bundle.cc:136-178) as a jitted fixed-shape
     program. max_iters bounds TOTAL inner iterations (the reference's
@@ -440,11 +493,30 @@ def bundle_adjust(
       error table — bit-identical to the single-device result) or "hist"
       (additive log2-histogram median, one [512] psum instead of an
       N*O-float all-gather; sigma within a few percent — the KITTI-scale
-      sharded setting).
+      sharded setting);
+    - reduce_mode: "psum" (contribution arrays all-reduced — correct for
+      ANY point-to-device assignment) or "halo" (band_pcg only; requires
+      points packed by min observing camera into contiguous camera
+      blocks of `shard_rows` cameras per device — see
+      parallel/sharded_ba.pack_problem_camblock. The band/U/eps
+      reductions become one right-neighbor ppermute of the
+      band_halfwidth-row halo strip plus a tiled all-gather of the
+      owned rows, and only the UPPER half band rides the wire (block
+      symmetry reconstructs the rest) — ~4x less interconnect traffic
+      than psumming the full band, which is what turns sharded band BA
+      from a net loss into an absolute wall-clock win at D>=4).
     """
     dtype = prob.points.dtype
     N, O = prob.meas_kf.shape
     K = prob.cam_R.shape[0]
+
+    if reduce_mode == "halo" and (
+        axis_name is None or solver != "band_pcg" or shard_rows <= 0
+    ):
+        raise ValueError(
+            "reduce_mode='halo' requires axis_name, solver='band_pcg' "
+            "and shard_rows=K/D (camera-block-packed points)"
+        )
 
     def _pa(x):
         return lax.psum(x, axis_name) if axis_name is not None else x
@@ -508,16 +580,21 @@ def bundle_adjust(
         B = jnp.where(gmask[..., None], B, 0.0)
 
         kf_flat = prob.meas_kf.reshape(-1)
-        U = _pa(
-            jnp.zeros((K, 6, 6), dtype).at[kf_flat].add(
-                jnp.einsum("nora,norb->noab", A, A).reshape(-1, 6, 6)
-            )
+        U = jnp.zeros((K, 6, 6), dtype).at[kf_flat].add(
+            jnp.einsum("nora,norb->noab", A, A).reshape(-1, 6, 6)
         )
-        eps_a = _pa(
-            jnp.zeros((K, 6), dtype).at[kf_flat].add(
-                jnp.einsum("nora,nor->noa", A, eps).reshape(-1, 6)
-            )
+        eps_a = jnp.zeros((K, 6), dtype).at[kf_flat].add(
+            jnp.einsum("nora,nor->noa", A, eps).reshape(-1, 6)
         )
+        if reduce_mode == "halo":
+            flat = _halo_reduce_gather(
+                jnp.concatenate([U.reshape(K, 36), eps_a], axis=1),
+                axis_name, shard_rows, band_halfwidth,
+            )
+            U = flat[:, :36].reshape(K, 6, 6)
+            eps_a = flat[:, 36:]
+        else:
+            U, eps_a = _pa(U), _pa(eps_a)
         V = jnp.einsum("nora,norb->nab", B, B)  # [N, 3, 3]
         eps_b = jnp.einsum("nora,nor->na", B, eps)
         W = jnp.einsum("nora,norb->noab", A, B)  # [N, O, 6, 3]
@@ -572,13 +649,31 @@ def bundle_adjust(
                     cg_iters, cg_tol,
                 )
             elif solver == "band_pcg":
-                # Odometry-band path: psum the block band once, then CG
+                # Odometry-band path: reduce the block band once, then CG
                 # locally with zero in-loop collectives.
                 S_band, E_corr = _schur_blocks_band(
                     prob.meas_kf, Y, W, eps_b, K, band_halfwidth,
                     point_block,
                 )
-                S_band, E_corr = _pa(S_band), _pa(E_corr)
+                if reduce_mode == "halo":
+                    # Only the upper half band + E_corr ride the wire;
+                    # block symmetry rebuilds the lower half locally.
+                    S_half = S_band[:, band_halfwidth:]
+                    flat = _halo_reduce_gather(
+                        jnp.concatenate(
+                            [S_half.reshape(K, -1), E_corr], axis=1
+                        ),
+                        axis_name, shard_rows, band_halfwidth,
+                    )
+                    S_half = flat[:, :-6].reshape(
+                        K, band_halfwidth + 1, 6, 6
+                    )
+                    E_corr = flat[:, -6:]
+                    S_band = _band_lower_from_upper(
+                        S_half, band_halfwidth
+                    )
+                else:
+                    S_band, E_corr = _pa(S_band), _pa(E_corr)
                 E = jnp.where(free[:, None], eps_a - E_corr, 0.0)
                 cam_upd = _band_pcg_solve(
                     U_star, S_band, free, band_halfwidth, E,

@@ -68,10 +68,93 @@ def pad_problem(prob: BAProblem, multiple: int) -> BAProblem:
     )
 
 
+def pack_problem_camblock(prob: BAProblem, n_dev: int, band: int):
+    """Pack points into camera-block bins for reduce_mode='halo': device
+    d gets exactly the points whose MINIMUM observing camera lies in its
+    contiguous block [d*K/D, (d+1)*K/D), so every contribution it makes
+    to the reduced camera system lands in its own block or the first
+    `band` rows of the next one (its observations span at most `band`
+    camera indices — the same precondition the band assembly already
+    has). Bins are padded to equal size with invalid point slots.
+
+    Returns (packed_prob, orig_idx [N'] int32 with -1 on padding) —
+    scatter point-side outputs back through orig_idx to recover the
+    caller's point order. Host-side numpy, not traced."""
+    import numpy as np
+
+    K = prob.cam_R.shape[0]
+    if K % n_dev != 0:
+        raise ValueError(f"K={K} not divisible by n_dev={n_dev}")
+    rows = K // n_dev
+    if band > rows:
+        raise ValueError(f"band={band} > rows-per-device={rows}")
+
+    kf = np.asarray(prob.meas_kf)
+    mv = np.asarray(prob.meas_valid) & np.asarray(prob.point_valid)[:, None]
+    has = mv.any(axis=1)
+    lo = np.where(mv, kf, np.iinfo(np.int32).max).min(axis=1)
+    hi = np.where(mv, kf, np.iinfo(np.int32).min).max(axis=1)
+    if has.any() and int((hi - lo)[has].max()) > band:
+        raise ValueError(
+            f"camera span {int((hi - lo)[has].max())} exceeds band={band}"
+        )
+    bins = np.where(has, np.clip(lo, 0, K - 1) // rows, 0)
+
+    idx_by_bin = [np.nonzero(bins == d)[0] for d in range(n_dev)]
+    cap = max(max((len(ix) for ix in idx_by_bin), default=1), 1)
+    orig = np.full((n_dev, cap), -1, np.int32)
+    for d, ix in enumerate(idx_by_bin):
+        orig[d, : len(ix)] = ix
+    orig = orig.reshape(-1)
+    safe = np.maximum(orig, 0)
+    pad = orig < 0
+
+    packed = BAProblem(
+        cam_R=prob.cam_R, cam_t=prob.cam_t,
+        cam_fixed=prob.cam_fixed, cam_valid=prob.cam_valid,
+        points=jnp.asarray(np.asarray(prob.points)[safe]),
+        point_valid=jnp.asarray(
+            np.asarray(prob.point_valid)[safe] & ~pad
+        ),
+        meas_kf=jnp.asarray(np.asarray(prob.meas_kf)[safe]),
+        meas_uv=jnp.asarray(np.asarray(prob.meas_uv)[safe]),
+        meas_sqrt_inv_noise=jnp.asarray(
+            np.asarray(prob.meas_sqrt_inv_noise)[safe]
+        ),
+        meas_valid=jnp.asarray(
+            np.asarray(prob.meas_valid)[safe] & ~pad[:, None]
+        ),
+    )
+    return packed, orig
+
+
+def unpack_point_outputs(res: BAResult, orig_idx, n_points: int):
+    """Scatter a packed run's point-side outputs back to the original
+    point order (padding slots dropped)."""
+    import numpy as np
+
+    keep = orig_idx >= 0
+    dst = orig_idx[keep]
+
+    def scat(x, fill=0):
+        a = np.asarray(x)
+        out = np.full((n_points,) + a.shape[1:], fill, a.dtype)
+        out[dst] = a[keep]
+        return jnp.asarray(out)
+
+    return res._replace(
+        points=scat(res.points),
+        meas_valid=scat(res.meas_valid, False),
+        outlier_meas=scat(res.outlier_meas, False),
+        point_outliers=scat(res.point_outliers),
+    )
+
+
 def comm_bytes_per_lm_step(K, N_global, O, solver="pcg", cg_iters=250,
                            inner_iters=1, dtype_bytes=4,
                            assembly="scatter", band_halfwidth=16,
-                           sigma_mode="gather", hist_bins=512):
+                           sigma_mode="gather", hist_bins=512,
+                           reduce_mode="psum"):
     """Logical all-reduce/all-gather payload per LM outer step of
     `bundle_adjust(axis_name=...)` — the communication the sharding
     design puts on ICI, itemized so strong-scaling projections can be made
@@ -101,6 +184,21 @@ def comm_bytes_per_lm_step(K, N_global, O, solver="pcg", cg_iters=250,
         b["sigma_gather"] = hist_bins * dtype_bytes
     else:
         b["sigma_gather"] = N_global * O * (dtype_bytes + 1)
+    if reduce_mode == "halo":
+        # Camera-block-packed points (pack_problem_camblock): per LM
+        # step, ONE right-neighbor ppermute of the band_halfwidth-row
+        # halo strip (wire bytes ~= payload, D-independent) plus tiled
+        # all-gathers of the owned rows ((D-1)/D of payload on the
+        # wire). Only the upper half band is ever communicated.
+        row_inner = ((band_halfwidth + 1) * 36 + 6) * dtype_bytes
+        b["u_eps"] = K * 42 * dtype_bytes                 # all-gather x1
+        b["solve"] = inner_iters * K * row_inner          # all-gather
+        b["halo_strip"] = band_halfwidth * (
+            42 + inner_iters * ((band_halfwidth + 1) * 36 + 6)
+        ) * dtype_bytes                                   # ppermute
+        b["scalars"] = (3 + inner_iters) * dtype_bytes
+        b["total"] = sum(b.values())
+        return b
     b["u_eps"] = K * 36 * dtype_bytes + K * 6 * dtype_bytes
     if solver == "pcg":
         b["solve"] = inner_iters * (
@@ -184,3 +282,28 @@ def sharded_bundle_adjust(
         cg_tol=cg_tol, **ba_kwargs,
     )
     return fn(padded, cam)
+
+
+def sharded_bundle_adjust_halo(
+    prob: BAProblem, cam, mesh: Mesh, band_halfwidth: int = 16,
+    max_iters: int = 20, point_block: int = 1024,
+    cg_iters: int = 250, cg_tol: float = 1e-6,
+    **ba_kwargs,
+) -> BAResult:
+    """Locality-aware sharded band BA: pack points by camera block
+    (pack_problem_camblock), run band_pcg with reduce_mode='halo'
+    (ppermute halo strip + half-band all-gather instead of the full-band
+    all-reduce), and unpack point-side outputs to the caller's order.
+    Camera-side and scalar outputs are replicated as usual."""
+    n_dev = mesh.devices.size
+    K = prob.cam_R.shape[0]
+    N = prob.points.shape[0]
+    packed, orig = pack_problem_camblock(prob, n_dev, band_halfwidth)
+    res = sharded_bundle_adjust(
+        packed, cam, mesh, max_iters=max_iters, point_block=point_block,
+        assembly="band", solver="band_pcg", cg_iters=cg_iters,
+        cg_tol=cg_tol, band_halfwidth=band_halfwidth,
+        reduce_mode="halo", shard_rows=K // n_dev,
+        sigma_mode=ba_kwargs.pop("sigma_mode", "hist"), **ba_kwargs,
+    )
+    return unpack_point_outputs(res, orig, N)
