@@ -203,7 +203,13 @@ def _full_slam_fps():
     config = SLAMConfig()
 
     def run():
-        sys_ = slam.SLAMSystem(config, seed=0, pipelined=True)
+        # pipeline_depth=3: three frames in flight, so the ~30 ms d2h
+        # stats round-trip of the remote-TPU link is fully hidden behind
+        # later frames' dispatch+compute (results/decisions trail three
+        # frames — the deployment throughput mode; depth 1 remains the
+        # bit-parity-with-sync default elsewhere).
+        sys_ = slam.SLAMSystem(config, seed=0, pipelined=True,
+                               pipeline_depth=3)
         n_tracked = 0
         results = []
         for k, img in enumerate(images):

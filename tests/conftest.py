@@ -11,20 +11,29 @@ import os
 
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    _flags = (_flags + " --xla_force_host_platform_device_count=8").strip()
+# Pin the CPU codegen ISA to a baseline the host always has. This is what
+# makes the PERSISTENT COMPILATION CACHE safe on CPU: without it XLA:CPU
+# AOT-compiles against the build machine's feature set and deserialized
+# executables could SIGILL on this host (the r2-r4 reason the cache was
+# TPU-only, which left the integration tier recompiling ~an hour of
+# programs every run). With compile and load pinned to the same ISA the
+# cache round-trips reliably (verified cross-process), and the suite's
+# big module fixtures compile once per TREE instead of once per RUN.
+if "xla_cpu_max_isa" not in _flags:
+    _flags = (_flags + " --xla_cpu_max_isa=AVX2").strip()
+os.environ["XLA_FLAGS"] = _flags
 os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
-# NOTE: do NOT enable the persistent compilation cache here. On this host
-# XLA:CPU executables sometimes SEGFAULT when deserialized from the cache
-# (reproducible in compilation_cache.get_executable_and_time — the
-# AOT machine-feature mismatch the cpu_aot_loader warns about). The cache
-# stays enabled for the TPU bench (bench.py), where reload is reliable
-# and saves a ~20-minute compile.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                 ".jax_cache_cpu"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

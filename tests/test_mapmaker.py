@@ -100,6 +100,18 @@ def test_epipolar_search_creates_points(two_kf_map):
     nm = np.asarray(new_mask)
     mv = np.asarray(sm2.meas.valid)
     assert np.all(mv[nm].sum(-1) == 2)
+    # Per-point sampled color (KeyFrame.cc:82-93 capability, minus the
+    # reference's uninitialized-copy bug): each new point carries the
+    # bilinear source-level intensity at its creation position.
+    from visualslam_android_tpu.ops import image as img_ops
+
+    got = np.asarray(sm2.points.color_gray)[nm]
+    centers = np.asarray(sm2.points.center)[nm]
+    want = np.asarray(img_ops.bilinear_sample(
+        sm2.keyframes.pyramid[1][1], centers
+    ))
+    np.testing.assert_allclose(got, want, atol=1e-4)
+    assert got.std() > 1.0, "sampled colors are degenerate"
 
 
 def test_refind_finds_points_in_new_kf(two_kf_map):

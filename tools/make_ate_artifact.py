@@ -6,8 +6,11 @@ protocol, tracker/mapmaker pipeline and similarity-aligned ATE evaluation
 are exactly the real-data path — only the pixels are rendered (with
 sensor degradations: exposure drift, defocus blur, vignette, noise).
 
-Runs `run_slam --dataset tum --json` on a clean and a degraded sequence
-and writes artifacts/ATE_r2.json with the full reports.
+Runs `run_slam --dataset tum --json` on clean and degraded sequences at
+BOTH 640x480 (TUM-native) and 800x480 (the reference's own frame size,
+jni/jni_part.cpp:41) and writes artifacts/ATE_r5.json with the full
+reports — regenerated on current code every round so the accuracy story
+never trails the search/solver rewrites (VERDICT r4 item 4).
 
 Run: python tools/make_ate_artifact.py [--frames 120] [--platform cpu|tpu]
 """
@@ -44,25 +47,27 @@ def main():
     p.add_argument("--frames", type=int, default=120)
     p.add_argument("--platform", default=None,
                    help="forwarded to run_slam --platform")
-    p.add_argument("--out", default="artifacts/ATE_r2.json")
+    p.add_argument("--out", default="artifacts/ATE_r5.json")
     args = p.parse_args()
 
     py = sys.executable
     reports = {}
-    for variant, gen_extra in (
-        ("clean", []),
-        ("degraded", ["--degrade", "--strength", "1.0"]),
-    ):
-        root = f"/tmp/tum_synth_{variant}"
-        if not os.path.exists(os.path.join(root, "rgb.txt")):
-            run([py, "tools/make_tum_synthetic.py", "--out", root,
-                 "--frames", str(args.frames)] + gen_extra)
-        cmd = [py, "-m", "visualslam_android_tpu.run_slam",
-               "--dataset", "tum", "--root", root,
-               "--frames", str(args.frames), "--json"]
-        if args.platform:
-            cmd += ["--platform", args.platform]
-        reports[variant] = run(cmd, parse_json=True)
+    for w, h in ((640, 480), (800, 480)):
+        for variant, gen_extra in (
+            ("clean", []),
+            ("degraded", ["--degrade", "--strength", "1.0"]),
+        ):
+            root = f"/tmp/tum_synth_{variant}_{w}x{h}"
+            if not os.path.exists(os.path.join(root, "rgb.txt")):
+                run([py, "tools/make_tum_synthetic.py", "--out", root,
+                     "--frames", str(args.frames),
+                     "--width", str(w), "--height", str(h)] + gen_extra)
+            cmd = [py, "-m", "visualslam_android_tpu.run_slam",
+                   "--dataset", "tum", "--root", root,
+                   "--frames", str(args.frames), "--json"]
+            if args.platform:
+                cmd += ["--platform", args.platform]
+            reports[f"{variant}_{w}x{h}"] = run(cmd, parse_json=True)
 
     out = {
         "protocol": (

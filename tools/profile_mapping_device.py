@@ -4,7 +4,7 @@ for VERDICT r3 item 2): times each jitted mapping task and the pieces of
 integrate_keyframe, so the scheduler's work units can be sized against
 the per-frame slack.
 
-Writes artifacts/PROFILE_MAPPING_DEVICE_r4.json.
+Writes artifacts/PROFILE_MAPPING_DEVICE_r5.json.
 """
 
 import json
@@ -148,7 +148,7 @@ def main():
         "ms_per_dispatch": rows,
     }
     os.makedirs("artifacts", exist_ok=True)
-    path = "artifacts/PROFILE_MAPPING_DEVICE_r4.json"
+    path = "artifacts/PROFILE_MAPPING_DEVICE_r5.json"
     with open(path, "w") as f:
         json.dump(out, f, indent=2)
     print("wrote", path)

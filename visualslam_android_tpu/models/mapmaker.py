@@ -534,6 +534,15 @@ def insert_new_points(
         normal_nc=scat(pts.normal_nc, n_nc),
         inlier_count=scat(pts.inlier_count, jnp.zeros(C, jnp.int32)),
         outlier_count=scat(pts.outlier_count, jnp.zeros(C, jnp.int32)),
+        # Per-point sampled color at creation (the capability of
+        # KeyFrame.cc:82-93 / MapMaker.cc:661-663, minus their
+        # uninitialized-copy bug): bilinear source-level intensity.
+        color_gray=scat(
+            pts.color_gray,
+            img_ops.bilinear_sample(
+                slam_map.keyframes.pyramid[level][src_kf], cand_lvl_xy
+            ),
+        ),
     )
     new_mask = (
         jnp.zeros(N, bool).at[cand_slot].set(True, mode="drop") & pts.valid
@@ -881,10 +890,12 @@ def apply_global_scale(slam_map: SLAMMap, scale):
 # ---------------------------------------------------------------------------
 
 
+@functools.partial(jax.jit, static_argnames=("config",))
 def calc_plane_aligner(slam_map: SLAMMap, key, config: SLAMConfig):
     """RANSAC dominant plane -> SE3 putting it at z=0. Returns (R, t,
     valid): valid False when fewer than 10 points (reference returns
-    identity then)."""
+    identity then). Jitted: one dispatch instead of an eager ~200-op
+    chain (remote-link latency)."""
     mc = config.mapmaker
     pts = slam_map.points
     live = pts.live()

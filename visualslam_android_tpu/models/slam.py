@@ -37,6 +37,7 @@ one-frame-stale mirrors of the device queue flags).
 from __future__ import annotations
 
 import dataclasses
+from concurrent.futures import ThreadPoolExecutor
 from typing import List, Optional
 
 import jax
@@ -52,8 +53,6 @@ from visualslam_android_tpu.models import keyframe as kf_mod
 from visualslam_android_tpu.models import map_store, mapmaker
 from visualslam_android_tpu.models import relocalizer
 from visualslam_android_tpu.models import tracker as tracker_mod
-from visualslam_android_tpu.models import triangulate
-from visualslam_android_tpu.models.map_store import SRC_TRAIL
 from visualslam_android_tpu.ops import camera as cam_ops
 from visualslam_android_tpu.ops import match
 from visualslam_android_tpu.ops import sbi as sbi_ops
@@ -102,10 +101,23 @@ class SLAMSystem:
     call flush() after the last frame for the final result."""
 
     def __init__(self, config: Optional[SLAMConfig] = None, seed: int = 0,
-                 pipelined: bool = False):
+                 pipelined: bool = False, pipeline_depth: int = 1):
+        """pipeline_depth (pipelined mode only): how many frames may be
+        in flight before track_frame blocks on the oldest one's stats.
+        Depth 1 (default) keeps results exactly one frame late and
+        BIT-IDENTICAL to sync mode (test_pipelined_matches_sync). Depth
+        d>=2 lets the stats transfer's full tunnel round-trip overlap
+        d-1 later frames' dispatch+compute — the throughput mode for
+        remote-TPU deployment (the d2h RTT is ~30 ms, an entire frame
+        budget) — at the cost of host decisions (lost counting, KF
+        adds, tier-3 resets) trailing d frames instead of one. The
+        reference's tracker/mapmaker thread pair tolerates the same
+        class of lag through its racing bool flags (MapMaker.h:114-118);
+        d bounds ours explicitly."""
         self.config = config or SLAMConfig()
         tc = self.config.tracker
         self.pipelined = pipelined
+        self.pipeline_depth = max(1, int(pipeline_depth))
         self.cam = cam_ops.make_camera(
             self.config.camera.params(), tc.width, tc.height
         )
@@ -119,6 +131,16 @@ class SLAMSystem:
         # produce two in one call around lost/bootstrap edges). Survives
         # reset() so no result is dropped.
         self._result_backlog: List[FrameResult] = []
+        # Pipelined mode pulls each frame's stats on a worker thread the
+        # moment the frame is dispatched: over a remote-TPU tunnel the
+        # d2h RTT (~30 ms) then overlaps the next frame's dispatch +
+        # compute instead of serializing the loop (measured: concurrent
+        # pulls overlap to ~one RTT total). _process_ctx just waits on
+        # the future — by then the transfer is usually done.
+        self._pull_pool = (
+            ThreadPoolExecutor(max_workers=max(2, self.pipeline_depth))
+            if pipelined else None
+        )
         self.reset()
 
     # ---- control -----------------------------------------------------
@@ -173,8 +195,9 @@ class SLAMSystem:
         # threaded through the next frame_step's `pending` input and
         # resolved at that frame's stats processing.
         self._pending_ba = None
-        # Pipelined-mode in-flight frame context.
-        self._ctx = None
+        # Pipelined-mode in-flight frame contexts (FIFO, at most
+        # pipeline_depth deep; empty in sync mode between calls).
+        self._ctxs: List[dict] = []
         # Host-side bookkeeping (keyframes are never deleted; slots fill
         # sequentially — no device readbacks needed).
         self._kf_count_host = 0
@@ -192,19 +215,30 @@ class SLAMSystem:
 
     # ---- per-frame ---------------------------------------------------
 
+    def _drain_ctxs(self):
+        """Resolve every in-flight frame (oldest first) into the result
+        backlog — called before any path that reads host decision state
+        (reset servicing, lost/reloc, flush)."""
+        while self._ctxs:
+            self._result_backlog.append(self._process_ctx())
+
     def track_frame(self, img) -> FrameResult:
         """TrackFrame (Tracker.cc:76-146)."""
-        # Pipelined mode: resolve the previous frame first — its
-        # decisions (KF add, quality/lost, BA convergence) feed this
-        # frame's scheduling.
-        if self._ctx is not None:
+        # Pipelined mode: resolve in-flight frames down to depth-1 —
+        # their decisions (KF add, quality/lost, BA convergence) feed
+        # this frame's scheduling (at depth 1 that is exactly "resolve
+        # the previous frame first").
+        while len(self._ctxs) >= self.pipeline_depth:
             self._result_backlog.append(self._process_ctx())
         # Tier-3 recovery (MapMaker.cc:906-915): a corrupting BA requests
         # a full map reset; service it at the top of EVERY frame — sync
         # mode resolves its pending BA inside the previous _process_ctx
-        # (after _ctx was already cleared), so the flag must be checked
-        # here unconditionally, not only on the pipelined path.
+        # (after its ctx was already consumed), so the flag must be
+        # checked here unconditionally, not only on the pipelined path.
+        # Frames still in flight tracked against the corrupt map; their
+        # results resolve first (the non-finite stats path demotes them).
         if self.reset_requested:
+            self._drain_ctxs()
             self.reset()
 
         fid = self.frame_idx
@@ -218,7 +252,7 @@ class SLAMSystem:
             self._result_backlog.append(res)
         if self._result_backlog:
             return self._result_backlog.pop(0)
-        if self.pipelined and self._ctx is not None:
+        if self.pipelined and self._ctxs:
             # Warm-up edge: the first tracked frame's result is still in
             # flight. Emit a placeholder (frame_id=-1) rather than block;
             # the real result arrives at the next call (or via flush()).
@@ -236,10 +270,10 @@ class SLAMSystem:
         return self._process_ctx()
 
     def flush(self) -> List[FrameResult]:
-        """Pipelined mode: drain every not-yet-delivered result (at most
-        two: the in-flight frame plus a backlog edge case)."""
-        if self._ctx is not None:
-            self._result_backlog.append(self._process_ctx())
+        """Pipelined mode: drain every not-yet-delivered result (up to
+        pipeline_depth in-flight frames plus backlog edge cases)."""
+        if self._ctxs:
+            self._drain_ctxs()
             if self.reset_requested:
                 self.reset()
         out, self._result_backlog = self._result_backlog, []
@@ -251,10 +285,7 @@ class SLAMSystem:
         cfg = self.config
         with self.timer.stage("frontend"):
             img = jnp.asarray(img, jnp.float32)
-            frame = kf_mod.make_frame(img, cfg)
-            sbi_cur = sbi_ops.make_sbi(
-                frame.pyramid[-1], cfg.tracker.sbi_blur
-            )
+            frame, sbi_cur = fstep.bootstrap_frontend(img, cfg)
             self.timer.sync(frame, sbi_cur)
         with self.timer.stage("bootstrap"):
             self._bootstrap(frame, sbi_cur, img)
@@ -290,11 +321,13 @@ class SLAMSystem:
 
         use_prior, forced_coarse, recovered = True, False, False
         if lost:
+            # The reloc path reads and writes host decision state
+            # synchronously: resolve any in-flight frames first so its
+            # inputs (lost counts, queue flags) are current and results
+            # stay ordered.
+            self._drain_ctxs()
             with self.timer.stage("reloc"):
-                frame = kf_mod.make_frame(img, cfg)
-                sbi_cur = sbi_ops.make_sbi(
-                    frame.pyramid[-1], tc.sbi_blur
-                )
+                frame, sbi_cur = fstep.bootstrap_frontend(img, cfg)
                 res = relocalizer.attempt_recovery(
                     self.slam_map, sbi_cur.template, self.cam,
                     cfg.mapmaker.reloc_max_score,
@@ -355,19 +388,24 @@ class SLAMSystem:
         with self.timer.stage("mapmaker"):
             self._mapmaker_step()
 
-        self._ctx = dict(
+        ctx = dict(
             stats=out.stats, frame=out.frame, found=out.found,
             found_pos=out.found_pos, search_level=out.search_level,
             did_subpix=out.did_subpix, R=out.R, t=out.t,
             R_before=R_before, t_before=t_before,
             pending_kind=pending_kind, recovered=recovered, fid=fid,
         )
+        self._ctxs.append(ctx)
         if self.pipelined:
-            # NB deliberately no copy_to_host_async here: on the
-            # remote-TPU tunnel the async-copy REQUEST is itself a
-            # blocking RPC (~one RTT), and the later blocking pull still
-            # pays the same d2h floor — measured slower with it than
-            # without (tools/profile_full_slam.py r4).
+            # Start the stats transfer NOW on a worker thread (a plain
+            # blocking np.asarray there): the tunnel RTT runs behind the
+            # following frames' dispatch + device compute — fully hidden
+            # once pipeline_depth >= 2. (copy_to_host_async on the MAIN
+            # thread was measured slower in r4 — its request is itself a
+            # blocking RPC; a worker thread sidesteps that.)
+            ctx["stats_future"] = self._pull_pool.submit(
+                np.asarray, out.stats
+            )
             return None
         return self._process_ctx()
 
@@ -403,14 +441,16 @@ class SLAMSystem:
                 self.recent_converged = True
 
     def _process_ctx(self) -> FrameResult:
-        """Pull the frame's packed stats (the loop's ONE transfer) and run
-        every host-side decision on it."""
-        ctx = self._ctx
-        self._ctx = None
+        """Pull the oldest in-flight frame's packed stats (the loop's ONE
+        transfer) and run every host-side decision on it."""
+        ctx = self._ctxs.pop(0)
         cfg = self.config
         tc = cfg.tracker
         with self.timer.stage("stats_pull"):
-            stats = np.asarray(ctx["stats"])
+            fut = ctx.get("stats_future")
+            stats = fut.result() if fut is not None else np.asarray(
+                ctx["stats"]
+            )
         S = fstep
         finite = bool(np.isfinite(stats).all())
 
@@ -573,37 +613,17 @@ class SLAMSystem:
 
     def _trail_advance(self, frame):
         """TrailTracking_Advance (Tracker.cc:294-346): forward MiniPatch
-        search + backwards married-match (tolerance 2 px^2)."""
-        cfg = self.config
-        tc = cfg.tracker
-        prev = self._prev_frame
-        fwd = match.find_minipatch(
-            frame.pyramid[0], frame.corner_mask[0], self._trail_patches,
-            self._trail_cur_pos, self._trail_valid,
-            search_range=tc.trail_search_range,
-            half_patch=cfg.patch.mini_half_patch,
-            max_ssd=tc.trail_max_ssd,
+        search + backwards married-match (tolerance 2 px^2), fused into
+        ONE jitted dispatch (fstep.trail_advance_step) + one scalar pull
+        — the eager 4-dispatch version cost ~100 ms/frame of pure
+        dispatch/queue latency over the remote-TPU link."""
+        pos, good, count = fstep.trail_advance_step(
+            frame, self._prev_frame, self._trail_patches,
+            self._trail_cur_pos, self._trail_valid, self.config,
         )
-        # Backwards check: sample patches at the found positions and
-        # search back in the previous frame.
-        back_patches = match.sample_minipatches(
-            frame.pyramid[0], fwd.pos, cfg.patch.mini_half_patch
-        )
-        bwd = match.find_minipatch(
-            prev.pyramid[0], prev.corner_mask[0], back_patches, fwd.pos,
-            self._trail_valid & fwd.found,
-            search_range=tc.trail_search_range,
-            half_patch=cfg.patch.mini_half_patch,
-            max_ssd=tc.trail_max_ssd,
-        )
-        d = bwd.pos - self._trail_cur_pos
-        married = jnp.sum(d * d, axis=-1) <= 2.0
-        good = self._trail_valid & fwd.found & bwd.found & married
-        self._trail_cur_pos = jnp.where(
-            good[:, None], fwd.pos, self._trail_cur_pos
-        )
+        self._trail_cur_pos = pos
         self._trail_valid = good
-        self._trail_count = int(good.sum())
+        self._trail_count = int(count)
         return self._trail_count
 
     def _init_from_stereo(self, frame_second) -> bool:
@@ -617,23 +637,33 @@ class SLAMSystem:
         a = self._trail_init_pos
         b = self._trail_cur_pos
         valid = self._trail_valid
-        m_a = cam_ops.unproject(self.cam, a)
-        m_b = cam_ops.unproject(self.cam, b)
-        _, jac = cam_ops.project_derivs(self.cam, m_b)
-        res = homography.compute(
-            m_a, m_b, jac, valid, self._next_key(),
-            max_pixel_error=mc.max_pixel_error, n_trials=mc.mlesac_trials,
-            refine_iters=mc.homography_refine_iters,
-        )
-        if not bool(res.success):
+        with self.timer.stage("init_homography"):
+            m_a = cam_ops.unproject(self.cam, a)
+            m_b = cam_ops.unproject(self.cam, b)
+            _, jac = cam_ops.project_derivs(self.cam, m_b)
+            res = homography.compute(
+                m_a, m_b, jac, valid, self._next_key(),
+                max_pixel_error=mc.max_pixel_error,
+                n_trials=mc.mlesac_trials,
+                refine_iters=mc.homography_refine_iters,
+            )
+            # One combined pull for the two host decisions (success +
+            # zero baseline, MapMaker.cc:244-247) — each scalar pull
+            # costs a full tunnel RTT.
+            ok_mag = np.asarray(jnp.stack([
+                res.success.astype(jnp.float32), jnp.linalg.norm(res.t)
+            ]))
+        if not bool(ok_mag[0] > 0.5):
             return False
-        t_mag = float(jnp.linalg.norm(res.t))
+        t_mag = float(ok_mag[1])
         if t_mag == 0.0:
             return False
         R2 = res.R
         t2 = res.t * (mc.wiggle_scale / t_mag)
 
         # Insert the two keyframes.
+        _stage = self.timer.stage
+        _pb = _stage("init_points"); _pb.__enter__()
         sm = map_store.empty_map(cfg)
         kfs = kf_mod.insert_keyframe(
             sm.keyframes, 0, frame_first, extras_first,
@@ -647,90 +677,86 @@ class SLAMSystem:
 
         # Build points from the trail matches (MapMaker.cc:262-339).
         T = a.shape[0]
-        tmpl = match.make_templates_nowarp(
-            kfs.pyramid[0], jnp.zeros(T, jnp.int32), a,
-            cfg.patch.half_patch_size,
+        # Subpixel-align + triangulate + insert the trail matches as one
+        # dispatch (MapMaker.cc:262-339); only n_ok comes back.
+        sm, n_ok_dev = fstep.init_points_step(
+            sm, frame_second, m_a, a, b, valid, R2, t2, self.cam, cfg
         )
-        sp = match.iterate_subpix(
-            frame_second.pyramid[0], tmpl, b,
-            jnp.zeros(T, jnp.int32), valid & ~tmpl.bad,
-            max_iters=cfg.patch.subpix_max_iters,
-            half_patch=cfg.patch.half_patch_size,
-            conv_limit=cfg.patch.subpix_converged,
-        )
-        ok = valid & ~tmpl.bad & sp.converged
-        m_b2 = cam_ops.unproject(self.cam, sp.pos_zero)
-        I3 = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (T, 3, 3))
-        z3 = jnp.zeros((T, 3), jnp.float32)
-        pos_w = triangulate.triangulate(
-            I3, z3,
-            jnp.broadcast_to(R2, (T, 3, 3)), jnp.broadcast_to(t2, (T, 3)),
-            m_a, m_b2,
-        )
-        ok &= pos_w[:, 2] > 0.0  # (MapMaker.cc:313-316)
-        n_ok = int(ok.sum())
+        n_ok = int(n_ok_dev)
         if n_ok < 10:
             return False
 
-        # Pack into point slots 0..T (capacity permitting).
-        epi_like = mapmaker.EpipolarResult(
-            success=ok, pos_w=pos_w, src_uv=a, target_uv=sp.pos_zero
-        )
-        sm, new_mask = mapmaker.insert_new_points(
-            sm, self.cam, epi_like, 0, 1, 0,
-            cfg.tracker.max_map_points,
-        )
-        # First measurement source is SRC_ROOT (set by insert), second
-        # should be SRC_TRAIL rather than SRC_EPIPOLAR (MapMaker.cc:331).
-        meas = sm.meas
-        fix = new_mask[:, None] & (meas.kf == 1) & meas.valid
-        meas = meas._replace(
-            source=jnp.where(fix, SRC_TRAIL, meas.source)
-        )
-        sm = sm._replace(meas=meas)
-
-        # 5x BundleAdjustAll (MapMaker.cc:346-347).
+        # 5x BundleAdjustAll (MapMaker.cc:346-347): the four intermediate
+        # rounds dispatch without a convergence pull — a corrupt round
+        # leaves the map non-finite, so the LAST round's synchronous
+        # okd check (and tier-3 reset) still catches it. Saves four
+        # tunnel RTTs on the one-time init frame.
         self.slam_map = sm
         self._kf_count_host = 2
         self._newest_kf_host = 1
-        for _ in range(5):
-            self._dispatch_ba("global", max_iters=10, sync=True)
-            if self.reset_requested:
-                return False
+        # The init map provably occupies the first point slots (trails +
+        # four epipolar growths; lowest-free-first allocation) over
+        # exactly 2 cameras, so the init BAs run on a prefix slice of
+        # the padded capacities — each LM step's device latency scales
+        # with capacity, and the full 130-iteration init sequence at
+        # [4096, 64] costs seconds.
+        _pb.__exit__(None, None, None)
+        _ba5 = _stage("init_ba5"); _ba5.__enter__()
+        n_init = min(
+            cfg.tracker.max_map_points,
+            -(-(cfg.tracker.max_trails
+                + 4 * mc.max_epi_candidates) // 256) * 256,
+        )
+        cap = (n_init, 2)
+        for _ in range(4):
+            self._dispatch_ba("global", max_iters=10, resolve=False,
+                              cap=cap)
+        self._dispatch_ba("global", max_iters=10, sync=True, cap=cap)
+        _ba5.__exit__(None, None, None)
+        if self.reset_requested:
+            return False
         self.slam_map = kf_mod.refresh_scene_depth(self.slam_map, 0)
         self.slam_map = kf_mod.refresh_scene_depth(self.slam_map, 1)
-        self.scene_depth_mean = float(
-            self.slam_map.keyframes.depth_mean[0]
-        )
-        self.wiggle_depth_norm = mc.wiggle_scale / max(
-            self.scene_depth_mean, 1e-6
-        )
-        self._depth = jnp.asarray(self.scene_depth_mean, jnp.float32)
+        # Device-side wiggle/depth scalars (host mirrors pulled once at
+        # the end of init, below).
+        self._depth = self.slam_map.keyframes.depth_mean[0]
         self._wiggle_dev = jnp.asarray(
-            self.wiggle_depth_norm, jnp.float32
-        )
+            mc.wiggle_scale, jnp.float32
+        ) / jnp.maximum(self._depth, 1e-6)
 
         # Epipolar growth at levels 0,3,1,2 (MapMaker.cc:355-358).
-        for lvl in (0, 3, 1, 2):
-            self._add_some_map_points(1, lvl)
+        with _stage("init_grow"):
+            for lvl in (0, 3, 1, 2):
+                self._add_some_map_points(1, lvl)
 
-        # BA until converged (MapMaker.cc:363-367).
-        for _ in range(8):
-            if self._dispatch_ba("global", max_iters=10, sync=True):
+        # BA until converged (MapMaker.cc:363-367): bundle_adjust loops
+        # to convergence internally, so a bigger per-dispatch budget
+        # replaces the r4 ladder of eight budget-10 dispatches (one
+        # RTT each) with at most four budget-20 ones.
+        _bc = _stage("init_ba_conv"); _bc.__enter__()
+        for _ in range(4):
+            if self._dispatch_ba("global", max_iters=20, sync=True,
+                                 cap=cap):
                 break
             if self.reset_requested:
                 return False
+        _bc.__exit__(None, None, None)
         if self.reset_requested:
             return False
 
-        # Dominant-plane alignment (MapMaker.cc:369-372).
+        # Dominant-plane alignment (MapMaker.cc:369-372), applied as a
+        # masked transform (identity when the RANSAC found no plane) so
+        # no host pull of plane_ok is needed.
+        _pl = _stage("init_plane_tail"); _pl.__enter__()
         Rp, tp, plane_ok = mapmaker.calc_plane_aligner(
             self.slam_map, self._next_key(), cfg
         )
-        if bool(plane_ok):
-            self.slam_map = mapmaker.apply_global_transformation(
-                self.slam_map, Rp, tp
-            )
+        I3 = jnp.eye(3, dtype=jnp.float32)
+        Rp = jnp.where(plane_ok, Rp, I3)
+        tp = jnp.where(plane_ok, tp, jnp.zeros(3, jnp.float32))
+        self.slam_map = mapmaker.apply_global_transformation(
+            self.slam_map, Rp, tp
+        )
         self.slam_map = self.slam_map._replace(good=jnp.asarray(True))
         self.R = self.slam_map.keyframes.R[1]
         self.t = self.slam_map.keyframes.t[1]
@@ -739,8 +765,18 @@ class SLAMSystem:
         # frame_idx was already advanced for this frame; KF-add gating
         # compares 0-based frame ids (FrameResult.frame_id).
         self.last_kf_frame = self.frame_idx - 1
-        self._n_points_host = int(self.slam_map.points.count())
+        # ONE final pull for the host mirrors (depth + point count).
+        tail = np.asarray(jnp.stack([
+            self.slam_map.keyframes.depth_mean[0],
+            self.slam_map.points.count().astype(jnp.float32),
+        ]))
+        self.scene_depth_mean = float(tail[0])
+        self.wiggle_depth_norm = mc.wiggle_scale / max(
+            self.scene_depth_mean, 1e-6
+        )
+        self._n_points_host = int(tail[1])
         self._any_new_host = True  # epipolar growth queued new points
+        _pl.__exit__(None, None, None)
         return True
 
     # ---- mapping stage (MapMaker::run priorities) --------------------
@@ -868,11 +904,16 @@ class SLAMSystem:
             self._band_choice = (self._kf_count_host, choice)
         return self._band_choice[1]
 
-    def _dispatch_ba(self, mode: str, max_iters: int, sync: bool = False):
+    def _dispatch_ba(self, mode: str, max_iters: int, sync: bool = False,
+                     resolve: bool = True, cap: tuple = ()):
         """BundleAdjustRecent/All (MapMaker.cc:801-851) as one dispatch.
         sync=True (bootstrap) blocks on convergence, matching the
         reference's synchronous InitFromStereo BA; otherwise the
-        convergence scalars ride the next frame_step's pending input."""
+        convergence scalars ride the next frame_step's pending input.
+        resolve=False (bootstrap's intermediate fixed rounds only)
+        discards the convergence scalars entirely — a later synchronous
+        round's finite-map check still catches corruption, because a
+        non-finite map stays non-finite through further BA rounds."""
         cfg = self.config
         if (
             mode == "local"
@@ -880,15 +921,21 @@ class SLAMSystem:
         ):
             self.recent_converged = True
             return True
-        assembly, solver = self._solver_choice()
+        # A capped (bootstrap) round runs on 2 camera slots: the dense
+        # 12x12 Schur path is always right there.
+        assembly, solver = (
+            ("onehot", "chol") if cap else self._solver_choice()
+        )
         (self.slam_map, self.failure_mask, self.never_retry, conv,
          okd) = fstep.ba_round(
             self.slam_map, self._newest_kf_host, self.never_retry,
             self.failure_mask, self.cam, cfg,
             max_iters=max_iters, assembly=assembly, solver=solver,
-            mode=mode,
+            mode=mode, cap=cap,
         )
         kind = "recent" if mode == "local" else "full"
+        if not resolve:
+            return None
         if sync:
             pulled = np.asarray(jnp.stack([
                 conv.astype(jnp.float32), okd.astype(jnp.float32)

@@ -54,6 +54,13 @@ def main(argv=None):
                         "device pull per frame) instead of the default "
                         "pipelined mode, where results lag one frame and "
                         "steady-state tracking never blocks on the link")
+    p.add_argument("--pipeline-depth", type=int, default=1,
+                   help="pipelined mode: frames in flight before blocking "
+                        "on the oldest stats pull. 1 = results exactly one "
+                        "frame late, bit-identical to --sync; >=2 hides "
+                        "the full device->host round-trip behind later "
+                        "frames (throughput mode over a remote-TPU link; "
+                        "host decisions then trail that many frames)")
     args = p.parse_args(argv)
 
     # Persistent compilation cache: the jitted tracking/mapping programs
@@ -140,7 +147,8 @@ def main(argv=None):
                                     max_epi_candidates=128),
         )
     sys_ = slam.SLAMSystem(
-        config, seed=args.seed, pipelined=not args.sync
+        config, seed=args.seed, pipelined=not args.sync,
+        pipeline_depth=args.pipeline_depth,
     )
     sys_.timer.enabled = args.profile
 

@@ -147,6 +147,19 @@ def draw_found_points(img_rgb, pos_xy, level, mask):
     return draw_dots(img, pos_xy, colors, mask, radius=2)
 
 
+def draw_map_points_colored(img_rgb, pos_xy, color_gray, mask,
+                            radius: int = 2):
+    """Dots colored by each point's OWN sampled source intensity
+    (PointStore.color_gray — the per-point color capability of
+    jni/KeyFrame.cc:82-93 / jni/MapMaker.cc:661-663, sampled correctly
+    at creation instead of copied uninitialized). Grayscale pipeline:
+    the stored intensity renders as a gray level."""
+    img = _ensure_rgb(img_rgb)
+    g = jnp.clip(color_gray / 255.0, 0.0, 1.0)
+    colors = jnp.stack([g, g, g], axis=-1)
+    return draw_dots(img, pos_xy, colors, mask, radius=radius)
+
+
 def render_grid(img_rgb, cam: cam_ops.Camera, R, t, half_cells: int = 8,
                 cell: float = 0.1):
     """Tracker::RenderGrid (jni/Tracker.cc:178-216): project the z=0
