@@ -66,19 +66,22 @@ def main():
         config.camera.params(), config.tracker.width, config.tracker.height
     )
     rng = np.random.default_rng(11)
-    # A 17 m-wide texture so a ~12 m sideways traverse never runs off the
-    # mapped plane.
-    scene = synthetic.make_planar_scene(
-        rng, depth=4.0, tex_size=4096, px_per_m=240.0
-    )
-    R0, t0 = synthetic.look_at_pose((0.0, 0.0, 0.0), target=(0, 0, 4.0))
     shape = (config.tracker.height, config.tracker.width)
 
     device = jax.devices()[0]
     print(f"rendering {n_frames} frames...", flush=True)
     images = []
     gt = []
+    # Scene creation AND rendering pinned to the host CPU backend: a
+    # 4096^2 texture created on the default (remote TPU) device would
+    # make every render round-trip 67 MB over the tunnel.
     with jax.default_device(jax.devices("cpu")[0]):
+        # 17 m-wide texture so a ~12 m sideways traverse never runs off
+        # the mapped plane.
+        scene = synthetic.make_planar_scene(
+            rng, depth=4.0, tex_size=4096, px_per_m=240.0
+        )
+        R0, t0 = synthetic.look_at_pose((0.0, 0.0, 0.0), target=(0, 0, 4.0))
         for k in range(n_frames):
             s = k / max(n_frames - 1, 1)
             mu = jnp.asarray([

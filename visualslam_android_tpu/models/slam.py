@@ -22,13 +22,16 @@ model, TrackMap, quality, bad-point handling), every mapping task is ONE
 jitted program, and every scalar the host control loop needs rides back
 in frame_step's packed ``stats`` vector, so steady-state tracking costs
 exactly one synchronous device->host transfer per frame — or zero with
-``pipelined=True``, where the stats transfer is started asynchronously
-and resolved at the NEXT track_frame call (results then lag one frame;
-``FrameResult.frame_id`` says which frame a result belongs to, and
-``flush()`` drains the last one). Over a remote-TPU link one synchronous
-pull costs ~30 ms, which is why the reference-style blocking loop (3-4
-pulls/frame plus dozens of eager dispatches) ran at ~1 fps while the
-same math as fused programs runs at tracking rate.
+``pipelined=True``, where each frame's stats transfer starts on a worker
+thread at dispatch and is resolved ``pipeline_depth`` frames later
+(depth 1: results lag one frame, bit-identical to sync mode; depth d>=2:
+the full d2h round-trip hides behind later frames' work — the remote-TPU
+throughput mode; ``FrameResult.frame_id`` says which frame a result
+belongs to, and ``flush()`` drains the in-flight tail). Over a
+remote-TPU link one synchronous pull costs ~30 ms, which is why the
+reference-style blocking loop (3-4 pulls/frame plus dozens of eager
+dispatches) ran at ~1 fps while the same math as fused programs runs at
+tracking rate.
 
 Host-side Python holds only control state (phase, counters, queues, and
 one-frame-stale mirrors of the device queue flags).
