@@ -52,6 +52,14 @@ def _tracking_fps():
     from visualslam_android_tpu.ops import sbi as sbi_ops
     from visualslam_android_tpu.utils import fixtures, synthetic
 
+    # The persistent cache is suspended for fixture construction and frame
+    # rendering (both pinned to the host CPU backend): looking up (or
+    # writing) XLA:CPU AOT entries emits multi-KB machine-feature stderr
+    # warnings that polluted the driver-captured bench tail in earlier
+    # rounds; these small CPU programs recompile in milliseconds anyway.
+    cache_dir_saved = jax.config.jax_compilation_cache_dir
+    jax.config.update("jax_compilation_cache_dir", None)
+
     rng = np.random.default_rng(7)
     config = fixtures.full_config()
     tc = config.tracker
@@ -79,6 +87,7 @@ def _tracking_fps():
             Rk, tk = lie.se3_mul(dR, dt, R0, t0)
             img = synthetic.render(scene, cam, Rk, tk, shape)
             frames.append(jax.device_put(img, device))
+    jax.config.update("jax_compilation_cache_dir", cache_dir_saved)
 
     depth_mean = jnp.asarray(4.0, jnp.float32)
 
@@ -119,7 +128,9 @@ def _tracking_fps():
         R, t, velocity, msd, sbi, _ = step(
             frames[k], slam_map, R, t, velocity, msd, sbi, key
         )
-    R.block_until_ready()
+    np.asarray(R)  # d2h pull = unambiguous device sync (block_until_ready
+    #                has been observed to return early on the tunnel
+    #                backend, which once inflated this metric ~100x)
 
     # Time from the warmed chained state (resetting any input to a fresh
     # host array would introduce a third layout signature = a recompile).
@@ -128,7 +139,7 @@ def _tracking_fps():
         R, t, velocity, msd, sbi, nf = step(
             frames[k], slam_map, R, t, velocity, msd, sbi, key
         )
-    R.block_until_ready()
+    np.asarray(R)
     dt_ = time.perf_counter() - t0_
     assert int(nf) > 50, f"tracking lost during bench ({int(nf)} found)"
     fps_single = n_frames / dt_
@@ -158,13 +169,13 @@ def _tracking_fps():
         sR, st_, svel, smsd, ssbi, _ = mstep(
             sframes[k], slam_map, sR, st_, svel, smsd, ssbi, skey
         )
-    sR.block_until_ready()
+    np.asarray(sR)
     t1_ = time.perf_counter()
     for k in range(n_frames):
         sR, st_, svel, smsd, ssbi, snf = mstep(
             sframes[k], slam_map, sR, st_, svel, smsd, ssbi, skey
         )
-    sR.block_until_ready()
+    np.asarray(sR)
     dt1 = time.perf_counter() - t1_
     assert int(jnp.min(snf)) > 50, f"a stream lost tracking ({snf})"
     fps_multi = S * n_frames / dt1
@@ -238,9 +249,14 @@ def main():
 
     # Persistent compilation cache: the tracking program takes minutes to
     # compile over a remote TPU link; cached executables load in seconds.
+    # The 10 s threshold keeps fast CPU-backend compiles (frame rendering)
+    # OUT of the cache: reloading CPU AOT entries emits multi-KB
+    # machine-feature stderr warnings that polluted the driver-captured
+    # bench tail in earlier rounds (every big TPU program compiles far
+    # longer than 10 s, so they all still cache).
     cache_dir = os.path.join(os.path.dirname(__file__), ".jax_cache")
     jax.config.update("jax_compilation_cache_dir", cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
 
     fps, n_streams, fps_multi = _tracking_fps()
 
